@@ -1,0 +1,217 @@
+"""Kernel-vs-oracle tests, spconv twin-data style (ref test_utils.py:141-190)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcl_net_tpu.ops import (
+    voxelize_dense,
+    point_recover,
+    dilate_mask,
+    sparse_avg_pool,
+    sparse_max_pool,
+    masked_batch_norm_stats,
+    dense_to_sparse,
+    knn,
+    three_nn,
+    nearest_neighbor_interpolate,
+    furthest_point_sample,
+    ball_query,
+    grouping_operation,
+    gather_operation,
+)
+from dcl_net_tpu.ops.voxelize import point_to_voxel_index
+
+from tests import oracles
+
+
+def _sparse_grid(rng, b=2, d=8, c=5, n_occ=20):
+    """Random sparse grid twins: dense feats + mask."""
+    mask = np.zeros((b, d, d, d), np.float32)
+    feats = np.zeros((b, d, d, d, c), np.float32)
+    for bi in range(b):
+        flat = rng.choice(d ** 3, size=n_occ, replace=False)
+        for f in flat:
+            i, j, k = np.unravel_index(f, (d, d, d))
+            mask[bi, i, j, k] = 1
+            feats[bi, i, j, k] = rng.randn(c)
+    return feats, mask
+
+
+def test_voxelize_mean_oracle(rng):
+    b, n, c, d = 2, 64, 7, 8
+    feats = rng.randn(b, n, c).astype(np.float32)
+    vidx = rng.randint(0, d, size=(b, n, 3))
+    mask = rng.rand(b, n) > 0.2
+    grid, cnt = voxelize_dense(
+        jnp.asarray(feats), jnp.asarray(vidx), (d, d, d), mode=4,
+        point_mask=jnp.asarray(mask),
+    )
+    egrid, ecnt = oracles.np_voxelize_mean(feats, vidx, (d, d, d), mask)
+    np.testing.assert_allclose(np.asarray(grid), egrid, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cnt), ecnt, atol=1e-5)
+
+
+def test_voxelize_grad_flows(rng):
+    """The scatter-mean must be differentiable w.r.t. features (the CUDA
+    backward at voxelize.cu:33-54 comes free here)."""
+    b, n, c, d = 1, 16, 3, 4
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    vidx = jnp.asarray(rng.randint(0, d, size=(b, n, 3)))
+
+    def f(x):
+        g, _ = voxelize_dense(x, vidx, (d, d, d), mode=4)
+        return jnp.sum(g ** 2)
+
+    g = jax.grad(f)(feats)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_point_recover(rng):
+    b, n, c, d = 2, 32, 4, 8
+    feats = rng.randn(b, n, c).astype(np.float32)
+    vidx = rng.randint(0, d, size=(b, n, 3))
+    grid, _ = voxelize_dense(jnp.asarray(feats), jnp.asarray(vidx), (d, d, d), mode=3)
+    rec = point_recover(grid, jnp.asarray(vidx))
+    # points mapping to the same voxel share the summed value
+    flat = vidx[:, :, 0] * 64 + vidx[:, :, 1] * 8 + vidx[:, :, 2]
+    for bi in range(b):
+        for ni in range(n):
+            same = flat[bi] == flat[bi, ni]
+            expect = feats[bi][same].sum(0)
+            np.testing.assert_allclose(np.asarray(rec)[bi, ni], expect, atol=1e-4)
+
+
+def test_point_to_voxel_index():
+    unit = [0.006, 0.006, 0.006]
+    limit = [64, 64, 64]
+    pts = jnp.asarray([[[0.0, 0.0, 0.0], [-0.191, 0.1919, 0.0031]]])
+    idx = np.asarray(point_to_voxel_index(pts, unit, limit))
+    # torch: ((p + 0.192) / 0.006).long()
+    expect = np.floor((np.asarray(pts) + 0.192) / 0.006).astype(np.int64)
+    expect = np.clip(expect, 0, 63)
+    np.testing.assert_array_equal(idx, expect)
+
+
+def test_dilate_mask_oracle(rng):
+    feats, mask = _sparse_grid(rng, b=1, d=8, c=1, n_occ=10)
+    out = np.asarray(dilate_mask(jnp.asarray(mask), kernel=3))
+    # oracle: any neighbor within chebyshev distance 1
+    expect = np.zeros_like(mask)
+    occ = np.argwhere(mask[0] > 0)
+    for i, j, k in occ:
+        expect[0,
+               max(i - 1, 0) : i + 2,
+               max(j - 1, 0) : j + 2,
+               max(k - 1, 0) : k + 2] = 1
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_sparse_avg_pool_oracle(rng):
+    feats, mask = _sparse_grid(rng, b=2, d=8, c=5, n_occ=25)
+    out, new_mask = sparse_avg_pool(jnp.asarray(feats), jnp.asarray(mask), 3, 2)
+    for bi in range(2):
+        eo, em = oracles.np_sparse_avg_pool(feats[bi], mask[bi], 3, 2)
+        np.testing.assert_allclose(np.asarray(out)[bi], eo, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(new_mask)[bi], em)
+
+
+def test_sparse_max_pool_ignores_empty(rng):
+    feats, mask = _sparse_grid(rng, b=1, d=4, c=2, n_occ=5)
+    feats = feats - 5.0 * mask[..., None]  # make all occupied values negative
+    out, new_mask = sparse_max_pool(jnp.asarray(feats * mask[..., None]), jnp.asarray(mask), 3, 2)
+    out = np.asarray(out)
+    # empty outputs are exactly zero; occupied outputs are the true max (negative)
+    nm = np.asarray(new_mask)
+    assert (out[nm == 0] == 0).all()
+    assert (out[nm == 1] < 0).all()
+
+
+def test_masked_batch_norm_stats(rng):
+    feats, mask = _sparse_grid(rng, b=2, d=8, c=5, n_occ=30)
+    mean, var = masked_batch_norm_stats(jnp.asarray(feats), jnp.asarray(mask))
+    rows = feats[mask > 0]  # [M, C] exactly the sparse feature rows
+    np.testing.assert_allclose(np.asarray(mean), rows.mean(0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), rows.var(0), atol=1e-5)
+
+
+def test_dense_to_sparse(rng):
+    feats, mask = _sparse_grid(rng, b=2, d=8, c=5, n_occ=20)
+    coords, vfeats, vmask = dense_to_sparse(jnp.asarray(feats), jnp.asarray(mask), capacity=32)
+    coords, vfeats, vmask = map(np.asarray, (coords, vfeats, vmask))
+    for bi in range(2):
+        assert vmask[bi].sum() == 20
+        got = {tuple(c) for c, m in zip(coords[bi], vmask[bi]) if m}
+        expect = {tuple(c) for c in np.argwhere(mask[bi] > 0)}
+        assert got == expect
+        for c, f, m in zip(coords[bi], vfeats[bi], vmask[bi]):
+            if m:
+                np.testing.assert_allclose(f, feats[bi][tuple(c)], atol=1e-6)
+
+
+def test_three_nn_oracle(rng):
+    q = rng.randn(2, 40, 3).astype(np.float32)
+    r = rng.randn(2, 30, 3).astype(np.float32)
+    m = (rng.rand(2, 30) > 0.3).astype(np.float32)
+    d2, idx = three_nn(jnp.asarray(q), jnp.asarray(r), jnp.asarray(m))
+    ed2, eidx = oracles.np_three_nn(q, r, m)
+    np.testing.assert_allclose(np.asarray(d2), ed2, rtol=1e-4, atol=1e-5)
+    # indices can differ on exact ties; distances must match
+    got_d = np.take_along_axis(((q[:, :, None] - r[:, None]) ** 2).sum(-1), np.asarray(idx), axis=2)
+    np.testing.assert_allclose(got_d, ed2, rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_neighbor_interpolate_weights(rng):
+    """Weights use inverse SQUARED distance (ref Modules.py:221-224 feeds
+    three_nn's dist2 into 1/(d+1e-8))."""
+    q = rng.randn(1, 10, 3).astype(np.float32)
+    r = rng.randn(1, 20, 3).astype(np.float32)
+    f = rng.randn(1, 20, 6).astype(np.float32)
+    out = np.asarray(nearest_neighbor_interpolate(jnp.asarray(q), jnp.asarray(r), jnp.asarray(f)))
+    d2, idx = oracles.np_three_nn(q, r)
+    recip = 1.0 / (d2 + 1e-8)
+    w = recip / recip.sum(-1, keepdims=True)
+    expect = (f[0][idx[0]] * w[0][..., None]).sum(1)
+    np.testing.assert_allclose(out[0], expect, rtol=1e-4, atol=1e-5)
+
+
+def test_knn_matches_sorted(rng):
+    q = rng.randn(1, 15, 3).astype(np.float32)
+    r = rng.randn(1, 25, 3).astype(np.float32)
+    d2, idx = knn(5, jnp.asarray(q), jnp.asarray(r))
+    full = ((q[:, :, None] - r[:, None]) ** 2).sum(-1)
+    expect = np.sort(full, axis=-1)[:, :, :5]
+    np.testing.assert_allclose(np.asarray(d2), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_fps_oracle(rng):
+    xyz = rng.randn(2, 50, 3).astype(np.float32)
+    idx = np.asarray(furthest_point_sample(jnp.asarray(xyz), 8))
+    expect = oracles.np_fps(xyz, 8)
+    np.testing.assert_array_equal(idx, expect)
+
+
+def test_ball_query_semantics(rng):
+    xyz = rng.randn(1, 40, 3).astype(np.float32)
+    centers = xyz[:, :5] + 0.01
+    idx = np.asarray(ball_query(0.5, 8, jnp.asarray(xyz), jnp.asarray(centers)))
+    d2 = ((centers[0][:, None] - xyz[0][None]) ** 2).sum(-1)
+    for s in range(5):
+        inside = np.where(d2[s] < 0.25)[0]
+        k = min(len(inside), 8)
+        np.testing.assert_array_equal(idx[0, s, :k], inside[:k])
+        if len(inside) < 8 and len(inside) > 0:
+            assert (idx[0, s, k:] == inside[0]).all()
+
+
+def test_gather_and_grouping(rng):
+    f = rng.randn(2, 10, 4).astype(np.float32)
+    idx = rng.randint(0, 10, size=(2, 6))
+    out = np.asarray(gather_operation(jnp.asarray(f), jnp.asarray(idx)))
+    for bi in range(2):
+        np.testing.assert_allclose(out[bi], f[bi][idx[bi]])
+    gidx = rng.randint(0, 10, size=(2, 6, 3))
+    gout = np.asarray(grouping_operation(jnp.asarray(f), jnp.asarray(gidx)))
+    for bi in range(2):
+        np.testing.assert_allclose(gout[bi], f[bi][gidx[bi]])
