@@ -1,0 +1,101 @@
+"""Sparse-conv backbone and multi-scale voxel->point feature interpolation.
+
+TPU-native re-design of Backbone_SPCONV (reference models/Modules.py:100-159)
+and Ops_GetPointFeat_spconv (reference models/Modules.py:228-251).
+
+Architecture (reference models/DCL_Net.py:47-50): dims
+[7,16,32,32,64,64,128,128,256], 8 conv layers grouped into 4 modules split
+after layers 1/3/5; within each module the first conv is a REGULAR sparse
+conv (active set dilates; reference indice_key "spconv_i") and the second is
+SUBMANIFOLD; every module is followed by a shared true-average SparseAvgPool3d
+(kernel 3, stride 2, use_gs=False) which does the downsampling
+(downsample_by_pooling=True, reference configs/config_YCBV_bs32.yaml:27).
+Grids: 64^3 -> 32^3 -> 16^3 -> 8^3 -> 4^3; pyramid outputs are the four
+POOLED levels (reference models/Modules.py:153-158).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from dcl_net_tpu.models.blocks import SparseConvBlock
+from dcl_net_tpu.ops.sparse_conv import (
+    sparse_avg_pool,
+    dense_to_sparse,
+    voxel_centers,
+)
+from dcl_net_tpu.ops.knn import nearest_neighbor_interpolate
+
+
+class SparseBackbone(nn.Module):
+    """4-module sparse conv pyramid returning 4 pooled (feats, mask) levels."""
+
+    dims: Sequence[int] = (7, 16, 32, 32, 64, 64, 128, 128, 256)
+    stride_layers: Sequence[int] = (1, 3, 5)
+    kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, grid: jnp.ndarray, mask: jnp.ndarray, train: bool
+    ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        outputs = []
+        module_end = set(self.stride_layers) | {len(self.dims) - 2}
+        x, m = grid, mask
+        for i in range(len(self.dims) - 1):
+            # First conv of each module is regular (dilating), rest submanifold
+            # (reference models/Modules.py:125-130).
+            subm = not ((i - 1) in self.stride_layers or i == 0)
+            x, m = SparseConvBlock(
+                features=self.dims[i + 1],
+                kernel_size=self.kernel_size,
+                subm=subm,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x, m, train)
+            if i in module_end:
+                x, m = sparse_avg_pool(x, m, self.kernel_size, 2)
+                outputs.append((x, m))
+        return outputs
+
+
+class MultiScalePointFeatures(nn.Module):
+    """Interpolate the 4 pyramid levels back onto query points and concat.
+
+    Matches Ops_GetPointFeat_spconv (reference models/Modules.py:228-251):
+    per level, voxel centers are computed with the reference's scale_lists
+    QUIRK [2,4,6,8] (although grids sit at strides [2,4,8,16]; reference
+    models/DCL_Net.py:54) and features are 3-NN inverse-squared-distance
+    interpolated onto the points. Output channels: 32+64+128+256 = 480.
+
+    capacities: static per-level occupied-voxel budgets for the padded sparse
+    extraction (capped at the level's full grid size).
+    """
+
+    unit_voxel_extent: Sequence[float] = (0.006, 0.006, 0.006)
+    voxel_num_limit: Sequence[int] = (64, 64, 64)
+    scale_list: Sequence[int] = (2, 4, 6, 8)
+    capacities: Sequence[int] = (8192, 2048, 512, 64)
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jnp.ndarray,  # [B, N, 3] metric
+        pyramid: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    ) -> jnp.ndarray:
+        unit = np.asarray(self.unit_voxel_extent, np.float32)
+        limit = np.asarray(self.voxel_num_limit, np.float32)
+        offset = -0.5 * unit * limit  # reference Modules.py:234
+        feats_all = []
+        for level, (feats, mask) in enumerate(pyramid):
+            grid_n = int(np.prod(feats.shape[1:4]))
+            cap = min(int(self.capacities[level]), grid_n)
+            coords, vfeats, vmask = dense_to_sparse(feats, mask, cap)
+            centers = voxel_centers(coords, unit, float(self.scale_list[level]), offset)
+            interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
+            feats_all.append(interp)
+        return jnp.concatenate(feats_all, axis=-1)

@@ -45,7 +45,15 @@ def knn(
     d2 = pairwise_sq_dist(query, ref)  # [B, N, M]
     if ref_mask is not None:
         d2 = jnp.where(ref_mask[:, None, :] > 0, d2, _BIG)
-    neg, idx = jax.lax.top_k(-d2, k)
+    m = d2.shape[-1]
+    k_eff = min(k, m)
+    neg, idx = jax.lax.top_k(-d2, k_eff)
+    if k_eff < k:
+        # Fewer refs than k: repeat the nearest neighbor. Interpolation-wise
+        # this matches the CUDA kernels' near-zero weights for missing slots.
+        pad = k - k_eff
+        neg = jnp.concatenate([neg] + [neg[..., :1]] * pad, axis=-1)
+        idx = jnp.concatenate([idx] + [idx[..., :1]] * pad, axis=-1)
     return -neg, idx.astype(jnp.int32)
 
 

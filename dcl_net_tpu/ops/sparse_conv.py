@@ -36,15 +36,28 @@ import numpy as np
 
 
 def _window_sum(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
-    """Sliding-window sum over the 3 spatial dims of [B, D0, D1, D2, C]."""
-    return jax.lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, kernel, kernel, kernel, 1),
-        window_strides=(1, stride, stride, stride, 1),
-        padding=[(0, 0)] + [(padding, padding)] * 3 + [(0, 0)],
-    )
+    """Sliding-window sum over the 3 spatial dims of [B, D0, D1, D2, C].
+
+    Implemented as a separable box filter (shifted adds per axis + strided
+    slice) instead of lax.reduce_window: sum-pooling is separable, the shifted
+    adds are pure VPU work, and — unlike reduce_window, whose generic
+    linearization path failed inside the full model graph — this is
+    unconditionally differentiable.
+    """
+    for axis in (1, 2, 3):
+        pad_widths = [(0, 0)] * x.ndim
+        pad_widths[axis] = (padding, padding)
+        xp = jnp.pad(x, pad_widths)
+        size = xp.shape[axis]
+        out_len = size - kernel + 1
+        acc = None
+        for o in range(kernel):
+            sl = jax.lax.slice_in_dim(xp, o, o + out_len, axis=axis)
+            acc = sl if acc is None else acc + sl
+        if stride > 1:
+            acc = jax.lax.slice_in_dim(acc, 0, acc.shape[axis], stride=stride, axis=axis)
+        x = acc
+    return x
 
 
 def dilate_mask(mask: jnp.ndarray, kernel: int = 3, stride: int = 1, padding: int | None = None) -> jnp.ndarray:

@@ -1,0 +1,194 @@
+"""DCL-Net model tests: shapes, determinism, gradient flow, tiny overfit."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from dcl_net_tpu.models import DCLNet, dcl_losses, Refiner, refiner_losses
+from dcl_net_tpu.models.refiner import refine_pose
+from dcl_net_tpu.geometry.rotation import random_rotation
+from dcl_net_tpu.ops.voxelize import point_to_voxel_index
+
+GRID = (16, 16, 16)
+UNIT = (0.024, 0.024, 0.024)  # same 0.384m total extent as the 64^3 config
+N = 64
+
+
+def _make_batch(rng, b=2, n=N, symmetric=False):
+    """Synthetic pose batch: template cloud + transformed observed cloud."""
+    key = jax.random.PRNGKey(rng.randint(1 << 30))
+    tmp = (rng.rand(b, n, 3).astype(np.float32) - 0.5) * 0.15
+    rot = np.asarray(random_rotation(key, (b,)))
+    trans = (rng.rand(b, 3).astype(np.float32) - 0.5) * 0.05
+    inp = np.einsum("bnj,bkj->bnk", tmp, rot) + trans[:, None]
+    rgb_i = rng.rand(b, n, 3).astype(np.float32) - 0.5
+    rgb_t = rng.rand(b, n, 3).astype(np.float32) - 0.5
+
+    feats_inp = np.concatenate([np.ones((b, n, 1), np.float32), rgb_i, inp], -1)
+    feats_tmp = np.concatenate([np.ones((b, n, 1), np.float32), rgb_t, tmp], -1)
+    vi = np.asarray(point_to_voxel_index(jnp.asarray(inp), UNIT, GRID))
+    vt = np.asarray(point_to_voxel_index(jnp.asarray(tmp), UNIT, GRID))
+    return {
+        "inp": {"feats": jnp.asarray(feats_inp), "voxel_idx": jnp.asarray(vi)},
+        "tmp": {"feats": jnp.asarray(feats_tmp), "voxel_idx": jnp.asarray(vt)},
+        "labels": {
+            "rot_gt": jnp.asarray(rot.astype(np.float32)),
+            "trans_gt": jnp.asarray(trans),
+            "obj_idx": jnp.zeros((b,), jnp.int32),
+        },
+        "sym_flag": jnp.full((b,), 1.0 if symmetric else 0.0),
+        "valid": jnp.ones((b,)),
+    }
+
+
+def _model():
+    return DCLNet(
+        unit_voxel_extent=UNIT,
+        voxel_num_limit=GRID,
+        n_inp=N,
+        n_tmp=N,
+        capacities=(256, 64, 16, 8),
+    )
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    rng = np.random.RandomState(0)
+    batch = _make_batch(rng)
+    model = _model()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    return model, variables, batch
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables, batch = model_and_vars
+    out, _ = model.apply(
+        variables, batch, train=True, mutable=["batch_stats"]
+    )
+    b = 2
+    assert out["rot_pred"].shape == (b, 3, 3)
+    assert out["trans_pred"].shape == (b, 3)
+    assert out["conf"].shape == (b, 2 * N)
+    assert out["F_Xo_p"].shape == (b, N, 256)
+    assert out["Xo_pred"].shape == (b, N, 3)
+    assert out["Yc_pred"].shape == (b, N, 3)
+    r = np.asarray(out["rot_pred"])
+    np.testing.assert_allclose(
+        r @ r.swapaxes(-1, -2), np.broadcast_to(np.eye(3), r.shape), atol=1e-4
+    )
+    conf = np.asarray(out["conf"])
+    assert (conf > 0).all() and (conf < 1).all()
+
+
+def test_losses_finite_and_positive(model_and_vars):
+    model, variables, batch = model_and_vars
+    out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
+    losses = dcl_losses(out, batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses["loss_pose"]) > 0
+    # sym branch also works
+    rng = np.random.RandomState(3)
+    batch_sym = _make_batch(rng, symmetric=True)
+    out2, _ = model.apply(variables, batch_sym, train=True, mutable=["batch_stats"])
+    losses2 = dcl_losses(out2, batch_sym)
+    assert np.isfinite(float(losses2["loss_all"]))
+
+
+def test_eval_mode_uses_running_stats(model_and_vars):
+    model, variables, batch = model_and_vars
+    out1 = model.apply(variables, batch, train=False)
+    out2 = model.apply(variables, batch, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out1["trans_pred"]), np.asarray(out2["trans_pred"]), atol=0
+    )
+
+
+def test_valid_masking_zeroes_padded_rows():
+    """A padded row (valid=0) must not change the loss value."""
+    rng = np.random.RandomState(1)
+    batch = _make_batch(rng, b=2)
+    model = _model()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"])
+    # mark sample 1 invalid: loss must equal the single-sample loss of row 0
+    batch_masked = dict(batch)
+    batch_masked["valid"] = jnp.asarray([1.0, 0.0])
+    l_masked = dcl_losses(out, batch_masked)
+
+    per_sample = dcl_losses(
+        jax.tree.map(lambda x: x[:1], out),
+        jax.tree.map(lambda x: x[:1], batch),
+    )
+    np.testing.assert_allclose(
+        float(l_masked["loss_pose"]), float(per_sample["loss_pose"]), rtol=2e-4
+    )
+
+
+def test_overfit_single_batch():
+    """Loss must drop substantially on a fixed tiny batch — end-to-end
+    gradient flow through voxelization, backbone, attention and SVD."""
+    rng = np.random.RandomState(2)
+    batch = _make_batch(rng, b=2)
+    model = _model()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return dcl_losses(out, batch)["loss_all"], mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_refiner_shapes_and_loss():
+    rng = np.random.RandomState(4)
+    b, n = 2, N
+    feats = jnp.asarray(rng.randn(b, n, 259).astype(np.float32))
+    conf = jnp.asarray(rng.rand(b, 2 * n).astype(np.float32))
+    refiner = Refiner(n_inp=n)
+    variables = refiner.init(
+        jax.random.PRNGKey(0), {"input_features": feats, "conf": conf}
+    )
+    out = refiner.apply(variables, {"input_features": feats, "conf": conf})
+    assert out["rot_pred"].shape == (b, 3, 3)
+    assert out["trans_pred"].shape == (b, 3)
+
+    tmp = jnp.asarray((rng.rand(b, 100, 3) - 0.5).astype(np.float32))
+    rot_gt = random_rotation(jax.random.PRNGKey(1), (b,))
+    trans_gt = jnp.asarray(rng.randn(b, 3).astype(np.float32) * 0.01)
+    losses = refiner_losses(
+        out, trans_gt, rot_gt, tmp, jnp.zeros((b,)), rot_gt, trans_gt
+    )
+    assert np.isfinite(float(losses["loss_all"]))
+
+    # full refinement loop
+    pts = jnp.asarray((rng.rand(b, n, 3) - 0.5).astype(np.float32))
+    fxo = jnp.asarray(rng.randn(b, n, 256).astype(np.float32))
+    rot, trans = refine_pose(
+        refiner.apply, variables, pts, fxo, conf,
+        rot_gt, trans_gt, iterations=2,
+    )
+    r = np.asarray(rot)
+    np.testing.assert_allclose(
+        r @ r.swapaxes(-1, -2), np.broadcast_to(np.eye(3), r.shape), atol=1e-4
+    )
