@@ -1,0 +1,94 @@
+"""The batch data contract between the data pipeline and the models.
+
+Mirrors the reference collate output (reference YCBV/dataloader_train_YCBV.py:
+241-266) re-designed for XLA: fixed [B, N, ...] shapes, voxel indices
+precomputed per point, validity flags instead of sample dropping, and no
+hash-map rulebooks (voxelization happens in-graph).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+@dataclass
+class PoseBatch:
+    """Host-side batch. All arrays are numpy; `to_dict` feeds the model."""
+
+    inp_feats: np.ndarray      # [B, N, 7]  (1, rgb-mean-subtracted, xyz)
+    inp_voxel_idx: np.ndarray  # [B, N, 3]  int32
+    tmp_feats: np.ndarray      # [B, M, 7]
+    tmp_voxel_idx: np.ndarray  # [B, M, 3]  int32
+    rot_gt: np.ndarray         # [B, 3, 3]
+    trans_gt: np.ndarray       # [B, 3]
+    obj_idx: np.ndarray        # [B] int32
+    sym_flag: np.ndarray       # [B] float32 (1 = symmetric)
+    valid: np.ndarray          # [B] float32 (0 = padded/invalid row)
+    radius: Optional[np.ndarray] = None  # [B] object radius (YCBV aux)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "inp": {"feats": self.inp_feats, "voxel_idx": self.inp_voxel_idx},
+            "tmp": {"feats": self.tmp_feats, "voxel_idx": self.tmp_voxel_idx},
+            "labels": {
+                "rot_gt": self.rot_gt,
+                "trans_gt": self.trans_gt,
+                "obj_idx": self.obj_idx,
+            },
+            "sym_flag": self.sym_flag,
+            "valid": self.valid,
+        }
+
+
+def make_batch(samples, pad_to: Optional[int] = None) -> PoseBatch:
+    """Stack per-sample dicts into a PoseBatch, padding to a fixed size.
+
+    Invalid samples (the reference returns flag -1 and drops them in collate,
+    YCBV/dataloader_train_YCBV.py:216-218) are kept with valid=0; padding rows
+    REPLICATE the first valid sample so batch-norm statistics see only sane
+    values, while valid=0 removes them from every loss/metric.
+    """
+    valid_samples = [s for s in samples if s.get("valid", 1.0) > 0]
+    if not valid_samples:
+        raise ValueError("batch contains no valid samples")
+    template = valid_samples[0]
+    b = pad_to or len(samples)
+
+    rows = []
+    for i in range(b):
+        if i < len(samples) and samples[i].get("valid", 1.0) > 0:
+            rows.append((samples[i], 1.0))
+        else:
+            rows.append((template, 0.0))
+
+    def stack(key, dtype=np.float32):
+        return np.stack([np.asarray(s[key], dtype=dtype) for s, _ in rows])
+
+    return PoseBatch(
+        inp_feats=stack("inp_feats"),
+        inp_voxel_idx=stack("inp_voxel_idx", np.int32),
+        tmp_feats=stack("tmp_feats"),
+        tmp_voxel_idx=stack("tmp_voxel_idx", np.int32),
+        rot_gt=stack("rot_gt"),
+        trans_gt=stack("trans_gt"),
+        obj_idx=stack("obj_idx", np.int32).reshape(b),
+        sym_flag=stack("sym_flag").reshape(b),
+        valid=np.asarray([v for _, v in rows], np.float32),
+        radius=stack("radius") if "radius" in template else None,
+    )
+
+
+def batch_to_jax(batch: PoseBatch) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    d = batch.to_dict()
+
+    def conv(x):
+        return jnp.asarray(x)
+
+    import jax
+
+    return jax.tree.map(conv, d)

@@ -1,0 +1,130 @@
+"""Synthetic pose dataset: procedurally generated CAD-like objects.
+
+Serves three roles the reference fills with YCB-Video files on disk:
+test fixtures, benchmark input, and pipeline smoke-training — without any
+dataset download. Geometry mimics the real task: a template point cloud on a
+synthetic object surface, an observed partial cloud = visible half under a
+random rigid transform with depth-like noise, sym flags for rotationally
+symmetric shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from dcl_net_tpu.registry import DATASETS
+
+
+def _sample_superquadric(rng: np.random.RandomState, n: int):
+    """Random superquadric-ish closed surface with per-point colors."""
+    e1, e2 = rng.uniform(0.4, 1.6, 2)
+    scale = rng.uniform(0.02, 0.06, 3)  # metres (YCB object scale)
+    theta = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    phi = rng.uniform(-np.pi, np.pi, n)
+
+    def f(w, m):
+        return np.sign(np.sin(w)) * np.abs(np.sin(w)) ** m
+
+    def g(w, m):
+        return np.sign(np.cos(w)) * np.abs(np.cos(w)) ** m
+
+    x = scale[0] * g(theta, e1) * g(phi, e2)
+    y = scale[1] * g(theta, e1) * f(phi, e2)
+    z = scale[2] * f(theta, e1)
+    pts = np.stack([x, y, z], -1).astype(np.float32)
+    colors = (0.5 + 0.5 * np.tanh(pts / scale * 2.0)).astype(np.float32)
+    return pts, colors
+
+
+@DATASETS.register("synthetic")
+class SyntheticPoseDataset:
+    """Generates fixed-shape samples matching the real loaders' contract.
+
+    Per sample (mirrors YCBV/dataloader_train_YCBV.py:105-206):
+    template = object cloud in canonical frame; observed = half-space-visible
+    subset of the transformed cloud, resampled to n_points with replacement,
+    plus gaussian depth noise; features [1, rgb - imagenet_mean, xyz];
+    voxel indices from the metric volume.
+    """
+
+    def __init__(
+        self,
+        n_objects: int = 16,
+        n_points: int = 1024,
+        unit_voxel_extent: Sequence[float] = (0.006, 0.006, 0.006),
+        voxel_num_limit: Sequence[int] = (64, 64, 64),
+        sym_ratio: float = 0.25,
+        length: int = 10000,
+        seed: int = 0,
+        noise: float = 0.002,
+    ):
+        self.n_points = n_points
+        self.unit = np.asarray(unit_voxel_extent, np.float32)
+        self.limit = np.asarray(voxel_num_limit, np.int32)
+        self.total = self.unit * self.limit
+        self.length = length
+        self.noise = noise
+        rng = np.random.RandomState(seed)
+        self.cad_points = []
+        self.cad_colors = []
+        self.sym_flags = []
+        for i in range(n_objects):
+            pts, cols = _sample_superquadric(rng, 4096)
+            self.cad_points.append(pts)
+            self.cad_colors.append(cols - np.array([0.485, 0.456, 0.406], np.float32))
+            self.sym_flags.append(1.0 if rng.rand() < sym_ratio else 0.0)
+
+    def __len__(self) -> int:
+        return self.length
+
+    def _voxel_index(self, pts: np.ndarray) -> np.ndarray:
+        idx = np.floor((pts + 0.5 * self.total) / self.unit).astype(np.int32)
+        return np.clip(idx, 0, self.limit - 1)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(index & 0x7FFFFFFF)
+        obj = rng.randint(len(self.cad_points))
+        cad = self.cad_points[obj]
+        col = self.cad_colors[obj]
+        n = self.n_points
+
+        # template sample
+        tsel = rng.choice(len(cad), n, replace=False)
+        tmp_pts, tmp_col = cad[tsel], col[tsel]
+
+        # observed: random pose + half-space visibility + noise
+        from scipy.spatial.transform import Rotation
+
+        rot = Rotation.random(random_state=rng).as_matrix().astype(np.float32)
+        trans = (rng.rand(3).astype(np.float32) - 0.5) * 0.06
+        view = rng.randn(3).astype(np.float32)
+        view /= np.linalg.norm(view)
+        visible = (cad @ view) > np.percentile(cad @ view, 40)
+        vis_idx = np.where(visible)[0]
+        osel = vis_idx[rng.choice(len(vis_idx), n, replace=True)]
+        obs = cad[osel] @ rot.T + trans
+        obs = obs + rng.randn(n, 3).astype(np.float32) * self.noise
+        obs_col = col[osel]
+
+        ones = np.ones((n, 1), np.float32)
+        return {
+            "inp_feats": np.concatenate([ones, obs_col, obs], -1),
+            "inp_voxel_idx": self._voxel_index(obs),
+            "tmp_feats": np.concatenate([ones, tmp_col, tmp_pts], -1),
+            "tmp_voxel_idx": self._voxel_index(tmp_pts),
+            "rot_gt": rot,
+            "trans_gt": trans,
+            "obj_idx": np.int32(obj),
+            "sym_flag": np.float32(self.sym_flags[obj]),
+            "valid": 1.0,
+            "radius": np.float32(np.linalg.norm(cad, axis=1).max()),
+        }
+
+    def model_points(self, obj: int, n: int, seed: int = 0) -> np.ndarray:
+        """CAD cloud for eval metrics (like points.xyz in the reference)."""
+        rng = np.random.RandomState(seed)
+        cad = self.cad_points[obj]
+        sel = rng.choice(len(cad), n, replace=n > len(cad))
+        return cad[sel]

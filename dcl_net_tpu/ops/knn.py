@@ -47,14 +47,29 @@ def knn(
         d2 = jnp.where(ref_mask[:, None, :] > 0, d2, _BIG)
     m = d2.shape[-1]
     k_eff = min(k, m)
-    neg, idx = jax.lax.top_k(-d2, k_eff)
+    if k_eff <= 8:
+        # lax.top_k full-sorts each row (~30x slower on TPU than k passes of
+        # min/argmin for tiny k). Iterated argmin is exact and stable-ordered:
+        # ties resolve to ascending index like a stable sort.
+        dists, idxs = [], []
+        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+        for _ in range(k_eff):
+            i = jnp.argmin(d2, axis=-1)
+            dists.append(jnp.min(d2, axis=-1))
+            idxs.append(i)
+            d2 = jnp.where(col == i[..., None], _BIG, d2)
+        dist2 = jnp.stack(dists, axis=-1)
+        idx = jnp.stack(idxs, axis=-1)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k_eff)
+        dist2 = -neg
     if k_eff < k:
         # Fewer refs than k: repeat the nearest neighbor. Interpolation-wise
         # this matches the CUDA kernels' near-zero weights for missing slots.
         pad = k - k_eff
-        neg = jnp.concatenate([neg] + [neg[..., :1]] * pad, axis=-1)
+        dist2 = jnp.concatenate([dist2] + [dist2[..., :1]] * pad, axis=-1)
         idx = jnp.concatenate([idx] + [idx[..., :1]] * pad, axis=-1)
-    return -neg, idx.astype(jnp.int32)
+    return dist2, idx.astype(jnp.int32)
 
 
 def three_nn(

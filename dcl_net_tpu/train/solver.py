@@ -1,0 +1,266 @@
+"""Training solver: optimizer building, LR schedules, AutoClip, train step.
+
+TPU-native replacement for the reference's gorilla.solver.BaseSolver-based
+Trainer (reference tools/train_YCBV_stage1.py:68-147) and its AutoClip
+percentile gradient clipper (:212-231). The optimizer is built from the same
+config schema (cfg.optimizer / cfg.lr_scheduler / cfg.lr_scheduler_cyc,
+reference configs/config_YCBV_bs32.yaml:2-16).
+
+Everything device-side is one jitted step; the Solver only orchestrates
+epochs, logging and checkpoints on the host.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from dcl_net_tpu.config import Config
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# AutoClip
+# ---------------------------------------------------------------------------
+class AutoClipState(NamedTuple):
+    history: jnp.ndarray  # [H] ring buffer of grad norms
+    count: jnp.ndarray    # total norms seen
+
+
+def autoclip(percentile: float = 50.0, history_len: int = 1024) -> optax.GradientTransformation:
+    """Percentile-based adaptive gradient clipping.
+
+    Matches the reference AutoClip (tools/train_YCBV_stage1.py:212-231): keep
+    a history of global grad norms, clip the current gradient to the given
+    percentile of that history (including the current norm). The reference
+    keeps an unbounded list; we use a ring buffer, identical until the buffer
+    wraps and statistically equivalent after.
+    """
+
+    def init_fn(params):
+        del params
+        return AutoClipState(
+            history=jnp.zeros((history_len,), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates).astype(jnp.float32)
+        history = state.history.at[state.count % history_len].set(norm)
+        count = state.count + 1
+        n_valid = jnp.minimum(count, history_len)
+        # percentile over the valid prefix: mask invalid slots to +inf and
+        # take the k-th smallest (linear interpolation like np.percentile).
+        idx = jnp.arange(history_len)
+        big = jnp.full((history_len,), jnp.inf, jnp.float32)
+        valid_hist = jnp.where(idx < n_valid, jnp.sort(jnp.where(idx < n_valid, history, jnp.inf)), big)
+        q = percentile / 100.0 * (n_valid.astype(jnp.float32) - 1.0)
+        lo = jnp.floor(q).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_valid - 1)
+        frac = q - lo.astype(jnp.float32)
+        clip_value = valid_hist[lo] * (1 - frac) + valid_hist[hi] * frac
+        scale = jnp.where(norm > clip_value, clip_value / jnp.maximum(norm, 1e-12), 1.0)
+        updates = jax.tree.map(lambda g: g * scale, updates)
+        return updates, AutoClipState(history=history, count=count)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+# ---------------------------------------------------------------------------
+# LR schedules
+# ---------------------------------------------------------------------------
+def cyclic_lr(base_lr: float, max_lr: float, step_size_up: int, step_size_down: Optional[int] = None):
+    """torch.optim.lr_scheduler.CyclicLR, triangular mode (reference
+    tools/train_YCBV_stage1.py:278)."""
+    step_size_down = step_size_down or step_size_up
+    period = step_size_up + step_size_down
+
+    def schedule(step):
+        cycle_pos = jnp.mod(step, period)
+        up = cycle_pos / step_size_up
+        down = 1.0 - (cycle_pos - step_size_up) / step_size_down
+        frac = jnp.where(cycle_pos <= step_size_up, up, down)
+        return base_lr + (max_lr - base_lr) * jnp.clip(frac, 0.0, 1.0)
+
+    return schedule
+
+
+def step_lr(base_lr: float, step_size_steps: int, gamma: float):
+    """torch StepLR per-epoch decay, expressed in steps."""
+
+    def schedule(step):
+        k = jnp.floor(step / step_size_steps)
+        return base_lr * jnp.power(gamma, k)
+
+    return schedule
+
+
+def build_lr_schedule(cfg: Config, steps_per_epoch: int) -> Callable:
+    """Build from the reference config schema.
+
+    - cfg.lr_scheduler_cyc present -> CyclicLR per iteration (YCBV configs).
+    - cfg.lr_scheduler.type == StepLR -> per-epoch decay (LM config).
+    """
+    if "lr_scheduler_cyc" in cfg:
+        c = cfg.lr_scheduler_cyc
+        return cyclic_lr(
+            float(c.base_lr), float(c.max_lr),
+            int(c.step_size_up), int(c.get("step_size_down", c.step_size_up)),
+        )
+    sched = cfg.get("lr_scheduler", Config())
+    stype = sched.get("type", "constant")
+    base_lr = float(cfg.optimizer.lr)
+    if stype == "StepLR":
+        return step_lr(base_lr, int(sched.step_size) * steps_per_epoch, float(sched.gamma))
+    if stype in ("constant", None):
+        return lambda step: base_lr
+    raise NotImplementedError(f"lr_scheduler type {stype}")
+
+
+def build_optimizer(cfg: Config, steps_per_epoch: int = 1) -> Tuple[optax.GradientTransformation, Callable]:
+    """Adam from cfg.optimizer (reference configs: Adam lr 1e-3,
+    betas [0.5, 0.999], eps 1e-6) + AutoClip + LR schedule."""
+    opt_cfg = cfg.optimizer
+    if opt_cfg.get("type", "Adam") != "Adam":
+        raise NotImplementedError(opt_cfg.type)
+    betas = opt_cfg.get("betas", [0.9, 0.999])
+    schedule = build_lr_schedule(cfg, steps_per_epoch)
+    tx = optax.chain(
+        autoclip(percentile=float(cfg.get("clip_percentile", 50.0))),
+        optax.scale_by_adam(b1=float(betas[0]), b2=float(betas[1]),
+                            eps=float(opt_cfg.get("eps", 1e-8))),
+        optax.scale_by_learning_rate(schedule),
+    )
+    return tx, schedule
+
+
+# ---------------------------------------------------------------------------
+# Train step factory
+# ---------------------------------------------------------------------------
+def make_train_step(model, tx, loss_fn) -> Callable:
+    """Build the jittable train step: forward, loss, grad, clip, update.
+
+    loss_fn(pred, batch) -> dict with "loss_all" (reference contract,
+    tools/train_YCBV_stage1.py:168-191).
+    """
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def compute(params):
+            pred, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            losses = loss_fn(pred, batch)
+            return losses["loss_all"], (losses, mut["batch_stats"])
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def init_train_state(model, tx, example_batch, rng_key=None) -> TrainState:
+    rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng_key, example_batch, train=True
+    )
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side epoch driver
+# ---------------------------------------------------------------------------
+class Solver:
+    """Epoch/step loop with per-step timing and periodic logging.
+
+    Mirrors the reference Trainer.solve/train (tools/train_YCBV_stage1.py:
+    89-147): per-step T_data / T_forward timing, log-buffer averaging every
+    `per_write` steps, checkpoint every `per_save` epochs.
+    """
+
+    def __init__(self, model, loss_fn, cfg: Config, loader, logger=None,
+                 checkpoint_dir: Optional[str] = None, writer=None):
+        self.model = model
+        self.cfg = cfg
+        self.loader = loader
+        self.logger = logger
+        self.writer = writer
+        self.checkpoint_dir = checkpoint_dir
+        steps_per_epoch = len(loader)
+        self.tx, self.schedule = build_optimizer(cfg, steps_per_epoch)
+        self.train_step = jax.jit(make_train_step(model, self.tx, loss_fn))
+        self.state: Optional[TrainState] = None
+        self.epoch = 0
+
+    def initialize(self, example_batch, seed: int = 0):
+        self.state = init_train_state(
+            self.model, self.tx, example_batch, jax.random.PRNGKey(seed)
+        )
+        return self.state
+
+    def solve(self, max_epoch: Optional[int] = None):
+        max_epoch = max_epoch or int(self.cfg.get("max_epoch", 1))
+        per_save = int(self.cfg.get("per_save", 1))
+        while self.epoch < max_epoch:
+            self.train_epoch()
+            self.epoch += 1
+            if self.checkpoint_dir and (self.epoch % per_save == 0):
+                from dcl_net_tpu.train.checkpoints import save_checkpoint
+
+                save_checkpoint(self.checkpoint_dir, self.state, self.epoch)
+
+    def train_epoch(self) -> Dict[str, float]:
+        per_write = int(self.cfg.get("per_write", 10))
+        buffer: Dict[str, list] = {}
+        end = time.time()
+        for i, batch in enumerate(self.loader):
+            t_data = time.time() - end
+            if self.state is None:
+                self.initialize(batch)
+            state, metrics = self.train_step(self.state, batch)
+            jax.block_until_ready(metrics["loss_all"])
+            self.state = state
+            t_step = time.time() - end - t_data
+            info = {k: float(v) for k, v in metrics.items()}
+            info.update({"T_data": t_data, "T_step": t_step,
+                         "lr": float(self.schedule(int(self.state.step) - 1))})
+            for k, v in info.items():
+                buffer.setdefault(k, []).append(v)
+            if self.logger and i % per_write == 0:
+                avg = {k: float(np.mean(v[-per_write:])) for k, v in buffer.items()}
+                msg = f"[{self.epoch}][{i}/{len(self.loader)}] Train - " + "\t".join(
+                    f"{k}: {v:.5f}" for k, v in avg.items()
+                )
+                self.logger.info(msg)
+                if self.writer:
+                    self.writer.add_scalars("train", avg, int(self.state.step))
+            end = time.time()
+        return {k: float(np.mean(v)) for k, v in buffer.items()}
