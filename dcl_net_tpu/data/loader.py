@@ -1,0 +1,153 @@
+"""Host-side batch loaders with background prefetch.
+
+Replaces torch DataLoader + collate (reference tools/train_YCBV_stage1.py:
+262-271): a thread pool maps dataset.__getitem__, samples are stacked into
+fixed-shape PoseBatches (schema.make_batch), and batches are prefetched so
+host IO overlaps device compute. No torch dependency.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from dcl_net_tpu.data.schema import make_batch
+
+
+class BatchLoader:
+    """Shuffling, dropping-last batch iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 4,
+        to_jax: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.prefetch = prefetch
+        self.to_jax = to_jax
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator:
+        idx = self._indices()
+        nb = len(self)
+        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        self.epoch += 1
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        break
+                    samples = list(pool.map(self.dataset.__getitem__, b))
+                    try:
+                        batch = make_batch(samples, pad_to=self.batch_size)
+                    except ValueError:
+                        continue  # no valid sample in batch: skip
+                    d = batch.to_dict()
+                    if self.to_jax:
+                        import jax.numpy as jnp
+
+                        d = {
+                            k: (
+                                {k2: jnp.asarray(v2) for k2, v2 in v.items()}
+                                if isinstance(v, dict) else jnp.asarray(v)
+                            )
+                            for k, v in d.items()
+                        }
+                    out_q.put(d)
+            out_q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+
+class EvalFrameLoader:
+    """Flatten frame-style eval datasets (YCBV test) into fixed-size padded
+    instance batches. Lost detections are carried to the evaluator as
+    valid=0 rows with correct labels."""
+
+    def __init__(self, dataset, batch_size: int = 16, num_workers: int = 8,
+                 to_jax: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.to_jax = to_jax
+
+    def __iter__(self):
+        pending: List[dict] = []
+
+        def emit(force=False):
+            while len(pending) >= self.batch_size or (force and pending):
+                chunk = pending[: self.batch_size]
+                del pending[: self.batch_size]
+                yield make_batch(chunk, pad_to=self.batch_size).to_dict()
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for frame in pool.map(
+                self.dataset.__getitem__, range(len(self.dataset))
+            ):
+                for s in frame["samples"]:
+                    pending.append(s)
+                for lost in frame["lost"]:
+                    # lost detection: no input; valid=0 row scoring as inf
+                    row = dict(self.dataset_invalid_template())
+                    row.update(
+                        rot_gt=lost["rot_gt"], trans_gt=lost["trans_gt"],
+                        obj_idx=np.int32(lost["obj_idx"]), valid=0.0,
+                    )
+                    pending.append(row)
+                yield from emit()
+            yield from emit(force=True)
+
+    def dataset_invalid_template(self):
+        n, m = self.dataset.n_inp, self.dataset.n_tmp
+        return {
+            "inp_feats": np.zeros((n, 7), np.float32),
+            "inp_voxel_idx": np.zeros((n, 3), np.int32),
+            "tmp_feats": np.zeros((m, 7), np.float32),
+            "tmp_voxel_idx": np.zeros((m, 3), np.int32),
+            "rot_gt": np.zeros((3, 3), np.float32),
+            "trans_gt": np.zeros(3, np.float32),
+            "obj_idx": np.int32(0),
+            "sym_flag": np.float32(0.0),
+            "valid": 0.0,
+        }

@@ -57,10 +57,19 @@ def make_batch(samples, pad_to: Optional[int] = None) -> PoseBatch:
     template = valid_samples[0]
     b = pad_to or len(samples)
 
+    # For invalid/padding rows the INPUT features are replaced by a valid
+    # sample's (keeps per-point batch-norm statistics sane) while the LABELS
+    # are kept, so lost detections score against their true class.
+    input_keys = {"inp_feats", "inp_voxel_idx", "tmp_feats", "tmp_voxel_idx"}
     rows = []
     for i in range(b):
         if i < len(samples) and samples[i].get("valid", 1.0) > 0:
             rows.append((samples[i], 1.0))
+        elif i < len(samples):
+            merged = dict(samples[i])
+            for k in input_keys:
+                merged[k] = template[k]
+            rows.append((merged, 0.0))
         else:
             rows.append((template, 0.0))
 

@@ -1,0 +1,317 @@
+"""YCB-Video datasets (train + test) producing fixed-shape batches.
+
+Faithful rebuild of the reference loaders:
+- train: reference YCBV/dataloader_train_YCBV.py — random instance choice,
+  bbox snap, depth lift with the two camera intrinsics sets, centroid
+  centering, SE(3) augmentation, volume filter, 1024-point resample.
+- test: reference YCBV/dataloader_test_YCBV.py — iterates ALL gt instances
+  of each frame using FFB6D-predicted masks+rois from
+  datasets/YCBV_Masks/Masks_FFB6D; undetected instances are recorded as
+  lost detections (reference all_flags=0, :116-123).
+
+Differences by design (fixed shapes for XLA): instances are padded to a
+static per-batch capacity with valid flags instead of ragged batches, and
+voxelization happens in-graph (no CPU hash map in collate).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dcl_net_tpu.data import preprocess as pp
+from dcl_net_tpu.data.ply import read_ply
+from dcl_net_tpu.registry import DATASETS
+
+# Camera intrinsics (reference YCBV/dataloader_train_YCBV.py:83-91)
+CAM_1 = dict(cx=312.9869, cy=241.3109, fx=1066.778, fy=1067.487)
+CAM_2 = dict(cx=323.7872, cy=279.6921, fx=1077.836, fy=1078.189)
+TEST_CAM_SCALE = 10000.0
+SYMMETRY_OBJ_IDX = [12, 15, 18, 19, 20]  # 0-based (reference :98)
+NUM_CLASSES = 21
+
+
+def _load_cads(cad_dir: str, classes_file: str, n_tmp: int, n_downsample: int = 1024):
+    """Load the 21 CAD clouds exactly like the reference init
+    (YCBV/dataloader_train_YCBV.py:53-76): np.random.seed(1), choose n_tmp
+    points without replacement, colors minus ImageNet mean, points in mm."""
+    with open(classes_file) as f:
+        class_names = [line.strip() for line in f if line.strip()]
+    rng_state = np.random.get_state()
+    np.random.seed(1)
+    rgb_cad, pc_cad, pc_cad_ds, radius = {}, {}, {}, {}
+    for class_id, name in enumerate(class_names, start=1):
+        ply = read_ply(os.path.join(cad_dir, name + "_pc.ply"))
+        pts, cols = ply["points"], ply.get("colors")
+        n_avail = pts.shape[0]
+        if n_avail < n_tmp:
+            choose = np.random.choice(n_avail, n_tmp)
+        else:
+            choose = np.random.choice(n_avail, n_tmp, replace=False)
+        rgb_cad[class_id] = cols[choose] - pp.IMAGENET_MEAN
+        pc_cad[class_id] = pts[choose] * 1000.0
+        choose_ds = np.random.choice(n_avail, n_downsample, replace=False)
+        pc_cad_ds[class_id] = pts[choose_ds] * 1000.0
+        radius[class_id] = float(np.linalg.norm(pts[choose], axis=1).max())
+    np.random.set_state(rng_state)
+    return class_names, rgb_cad, pc_cad, pc_cad_ds, radius
+
+
+def roi_bbox(posecnn_rois: np.ndarray, idx: int):
+    """FFB6D/PoseCNN roi -> snapped bbox
+    (reference YCBV/dataloader_test_YCBV.py:266-303)."""
+    rmin = max(int(posecnn_rois[idx][3]) + 1, 0)
+    rmax = min(int(posecnn_rois[idx][5]) - 1, 480)
+    cmin = max(int(posecnn_rois[idx][2]) + 1, 0)
+    cmax = min(int(posecnn_rois[idx][4]) - 1, 640)
+    r_b = rmax - rmin
+    for tt in range(len(pp.BORDER_LIST) - 1):
+        if pp.BORDER_LIST[tt] < r_b < pp.BORDER_LIST[tt + 1]:
+            r_b = pp.BORDER_LIST[tt + 1]
+            break
+    c_b = cmax - cmin
+    for tt in range(len(pp.BORDER_LIST) - 1):
+        if pp.BORDER_LIST[tt] < c_b < pp.BORDER_LIST[tt + 1]:
+            c_b = pp.BORDER_LIST[tt + 1]
+            break
+    center = [(rmin + rmax) // 2, (cmin + cmax) // 2]
+    rmin, rmax = center[0] - r_b // 2, center[0] + r_b // 2
+    cmin, cmax = center[1] - c_b // 2, center[1] + c_b // 2
+    if rmin < 0:
+        rmax += -rmin
+        rmin = 0
+    if cmin < 0:
+        cmax += -cmin
+        cmin = 0
+    if rmax > 480:
+        rmin -= rmax - 480
+        rmax = 480
+    if cmax > 640:
+        cmin -= cmax - 640
+        cmax = 640
+    return rmin, rmax, cmin, cmax
+
+
+@DATASETS.register("ycbv_train")
+class YCBVTrainDataset:
+    def __init__(self, cfg, root: str, list_file: Optional[str] = None,
+                 assets_dir: Optional[str] = None):
+        assets = assets_dir or os.path.join(root, "..")
+        self.root = root
+        self.n_inp = int(cfg.input_size)
+        self.n_tmp = int(cfg.tmp_size)
+        self.unit = np.asarray(cfg.unit_voxel_extent, np.float32)
+        self.limit = np.asarray(cfg.voxel_num_limit, np.float32)
+        self.total = self.unit * self.limit
+        list_file = list_file or os.path.join(assets, "train_data_list.txt")
+        with open(list_file) as f:
+            self.list = [line.strip() for line in f if line.strip()]
+        classes = os.path.join(assets, "classes.txt")
+        cads = os.path.join(assets, "CADs")
+        (self.class_names, self.rgb_cad, self.pc_cad, self.pc_cad_ds,
+         self.radius) = _load_cads(cads, classes, self.n_tmp)
+        self.min_pt = 50
+
+    def __len__(self):
+        return len(self.list)
+
+    def _intrinsics(self, path: str) -> Dict[str, float]:
+        # videos >= 60 use the second camera (reference :113-122)
+        if path[:8] != "data_syn" and int(path[5:9]) >= 60:
+            return CAM_2
+        return CAM_1
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        from PIL import Image
+        import scipy.io as scio
+
+        rng = np.random  # module-level RNG like the reference workers
+        path = self.list[index]
+        img = np.array(Image.open(f"{self.root}/{path}-color.png"))[:, :, :3]
+        depth = np.array(Image.open(f"{self.root}/{path}-depth.png"))
+        label = np.array(Image.open(f"{self.root}/{path}-label.png"))
+        meta = scio.loadmat(f"{self.root}/{path}-meta.mat")
+        objs = meta["cls_indexes"].flatten().astype(np.int32)
+        cam = self._intrinsics(path)
+
+        mask_depth = depth != 0
+        # random instance with enough pixels (reference :126-132)
+        for _ in range(100):
+            idx = rng.randint(0, len(objs))
+            mask_label = label == objs[idx]
+            mask = mask_label & mask_depth
+            if mask.sum() > self.min_pt:
+                break
+        else:
+            return self._invalid()
+
+        rmin, rmax, cmin, cmax = pp.get_bbox(mask_label)
+        target_r = meta["poses"][:, :, idx][:, 0:3].astype(np.float32)
+        target_t = meta["poses"][:, :, idx][:, 3].astype(np.float32)
+
+        choose = mask[rmin:rmax, cmin:cmax].flatten().nonzero()[0]
+        if len(choose) < self.min_pt:
+            return self._invalid()
+
+        rgb = pp.normalize_rgb(
+            img[rmin:rmax, cmin:cmax].reshape(-1, 3)[choose]
+        )
+        cam_scale = float(meta["factor_depth"][0][0])
+        cloud = pp.depth_to_cloud(
+            depth, choose, rmin, rmax, cmin, cmax,
+            cam["cx"], cam["cy"], cam["fx"], cam["fy"], cam_scale,
+        )
+        centroid = cloud.mean(axis=0)
+        cloud = (cloud - centroid).astype(np.float32)
+        target_t = target_t - centroid.astype(np.float32)
+
+        state = np.random.RandomState(rng.randint(1 << 31))
+        cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, state)
+
+        res = pp.filter_and_resample(cloud, rgb, self.total, self.n_inp, state,
+                                     self.min_pt)
+        if res is None:
+            return self._invalid()
+        cloud, rgb = res
+        feats_inp, vidx_inp = pp.assemble_features(cloud, rgb, self.unit, self.total, self.limit)
+
+        obj_id = int(objs[idx])
+        model_points = (self.pc_cad[obj_id] / 1000.0).astype(np.float32)
+        feats_tmp, vidx_tmp = pp.assemble_features(
+            model_points, self.rgb_cad[obj_id].astype(np.float32),
+            self.unit, self.total, self.limit,
+        )
+        return {
+            "inp_feats": feats_inp, "inp_voxel_idx": vidx_inp,
+            "tmp_feats": feats_tmp, "tmp_voxel_idx": vidx_tmp,
+            "rot_gt": target_r, "trans_gt": target_t,
+            "obj_idx": np.int32(obj_id - 1),
+            "sym_flag": np.float32(1.0 if (obj_id - 1) in SYMMETRY_OBJ_IDX else 0.0),
+            "valid": 1.0,
+            "radius": np.float32(self.radius[obj_id] / 1000.0),
+        }
+
+    def _invalid(self):
+        n, m = self.n_inp, self.n_tmp
+        return {
+            "inp_feats": np.zeros((n, 7), np.float32),
+            "inp_voxel_idx": np.zeros((n, 3), np.int32),
+            "tmp_feats": np.zeros((m, 7), np.float32),
+            "tmp_voxel_idx": np.zeros((m, 3), np.int32),
+            "rot_gt": np.zeros((3, 3), np.float32),
+            "trans_gt": np.zeros(3, np.float32),
+            "obj_idx": np.int32(-1), "sym_flag": np.float32(-1.0),
+            "valid": 0.0, "radius": np.float32(-1.0),
+        }
+
+
+@DATASETS.register("ycbv_test")
+class YCBVTestDataset:
+    """Per-frame eval dataset with FFB6D masks (reference
+    YCBV/dataloader_test_YCBV.py). __getitem__ yields the frame's instance
+    samples + lost-detection records; `frames()` iterates padded batches."""
+
+    def __init__(self, cfg, root: str, masks_dir: Optional[str] = None,
+                 list_file: Optional[str] = None, assets_dir: Optional[str] = None):
+        assets = assets_dir or os.path.join(root, "..")
+        self.root = root
+        self.masks_dir = masks_dir or os.path.join(assets, "YCBV_Masks", "Masks_FFB6D")
+        self.n_inp = int(cfg.input_size)
+        self.n_tmp = int(cfg.tmp_size)
+        self.unit = np.asarray(cfg.unit_voxel_extent, np.float32)
+        self.limit = np.asarray(cfg.voxel_num_limit, np.float32)
+        self.total = self.unit * self.limit
+        list_file = list_file or os.path.join(assets, "test_data_list.txt")
+        with open(list_file) as f:
+            self.list = [line.strip() for line in f if line.strip()]
+        classes = os.path.join(assets, "classes.txt")
+        cads = os.path.join(assets, "CADs")
+        (self.class_names, self.rgb_cad, self.pc_cad, self.pc_cad_ds,
+         self.radius) = _load_cads(cads, classes, self.n_tmp)
+        self.min_pt = 50
+
+    def __len__(self):
+        return len(self.list)
+
+    def model_points_array(self) -> np.ndarray:
+        """[num_classes, n_tmp, 3] CAD clouds in metres for the evaluator."""
+        return np.stack(
+            [self.pc_cad[c] / 1000.0 for c in sorted(self.pc_cad)]
+        ).astype(np.float32)
+
+    def __getitem__(self, index: int):
+        from PIL import Image
+        import scipy.io as scio
+
+        rng = np.random
+        path = self.list[index]
+        img = np.array(Image.open(f"{self.root}/{path}-color.png"))[:, :, :3]
+        depth = np.array(Image.open(f"{self.root}/{path}-depth.png"))
+        mask_depth = depth != 0
+        posecnn_meta = scio.loadmat(f"{self.masks_dir}/{index:06d}.mat")
+        label = np.array(posecnn_meta["labels"])
+        rois = np.array(posecnn_meta["rois"])
+        gt_meta = scio.loadmat(f"{self.root}/{path}-meta.mat")
+        gt_obj = gt_meta["cls_indexes"].flatten().astype(np.int32)
+
+        samples: List[Dict] = []
+        lost: List[Dict] = []
+        for idx in range(gt_obj.shape[0]):
+            obj_id = int(gt_obj[idx])
+            target_r = gt_meta["poses"][:, :, idx][:, 0:3].astype(np.float32)
+            target_t = gt_meta["poses"][:, :, idx][:, 3].astype(np.float32)
+
+            detected = np.sum(rois[:, 1] == obj_id) > 0
+            choose = None
+            if detected:
+                roi_i = np.where(rois[:, 1] == obj_id)[0][0]
+                rmin, rmax, cmin, cmax = roi_bbox(rois, roi_i)
+                mask = (label == obj_id) & mask_depth
+                choose = mask[rmin:rmax, cmin:cmax].flatten().nonzero()[0]
+            if not detected or choose is None or choose.shape[0] == 0:
+                lost.append({"obj_idx": obj_id - 1, "rot_gt": target_r,
+                             "trans_gt": target_t})
+                continue
+
+            rgb = pp.normalize_rgb(img[rmin:rmax, cmin:cmax].reshape(-1, 3)[choose])
+            cloud = pp.depth_to_cloud(
+                depth, choose, rmin, rmax, cmin, cmax,
+                CAM_1["cx"], CAM_1["cy"], CAM_1["fx"], CAM_1["fy"],
+                TEST_CAM_SCALE,
+            )
+            centroid = cloud.mean(axis=0)
+            cloud = (cloud - centroid).astype(np.float32)
+            target_t = target_t - centroid.astype(np.float32)
+
+            # eval keeps out-of-volume points when too few remain
+            # (reference :164-180: filter only if >32 survive, else clamp)
+            keep = (
+                (np.abs(cloud[:, 0]) < self.total[0] * 0.5)
+                & (np.abs(cloud[:, 1]) < self.total[1] * 0.5)
+                & (np.abs(cloud[:, 2]) < self.total[2] * 0.5)
+            )
+            if keep.sum() > 32:
+                cloud, rgb = cloud[keep], rgb[keep]
+            if cloud.shape[0] > self.n_inp:
+                sel = rng.choice(cloud.shape[0], self.n_inp, replace=False)
+            else:
+                sel = rng.choice(cloud.shape[0], self.n_inp)
+            cloud, rgb = cloud[sel], rgb[sel]
+            feats_inp, vidx_inp = pp.assemble_features(cloud, rgb, self.unit, self.total, self.limit)
+
+            model_points = (self.pc_cad[obj_id] / 1000.0).astype(np.float32)
+            feats_tmp, vidx_tmp = pp.assemble_features(
+                model_points, self.rgb_cad[obj_id].astype(np.float32),
+                self.unit, self.total, self.limit,
+            )
+            samples.append({
+                "inp_feats": feats_inp, "inp_voxel_idx": vidx_inp,
+                "tmp_feats": feats_tmp, "tmp_voxel_idx": vidx_tmp,
+                "rot_gt": target_r, "trans_gt": target_t,
+                "obj_idx": np.int32(obj_id - 1),
+                "sym_flag": np.float32(1.0 if (obj_id - 1) in SYMMETRY_OBJ_IDX else 0.0),
+                "valid": 1.0, "centroid": centroid.astype(np.float32),
+            })
+        return {"samples": samples, "lost": lost, "path": path}

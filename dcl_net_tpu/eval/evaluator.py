@@ -1,0 +1,179 @@
+"""Eval loops: stage-1 and stage-2 (refined) pose evaluation.
+
+Rebuilds the reference eval drivers (tools/test_YCBV_stage1.py:127-205,
+tools/test_YCBV_stage2.py:140-260, tools/test_LM.py:84-158,
+tools/test_LMO.py) on the fixed-shape batch contract:
+
+- batches arrive padded with `valid` flags; invalid rows are either scored as
+  lost detections (protocol-dependent) or skipped,
+- the forward + distance computation is one jitted graph per shape; only
+  [B]-sized distances come back to host,
+- metric aggregation (AUC curves / success rates) happens in numpy.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dcl_net_tpu.eval.metrics import (
+    add_batch,
+    add_s_batch,
+    per_class_auc_acc,
+    success_at_diameter,
+)
+from dcl_net_tpu.models.refiner import refine_pose
+
+
+class Evaluator:
+    """Stage-1 evaluator.
+
+    Args:
+      model: DCLNet module.
+      variables: trained {"params", "batch_stats"}.
+      model_points: [num_classes, P, 3] CAD clouds for metric computation
+        (reference loads points.xyz per class, tools/test_YCBV_stage1.py:
+        147-169).
+      sym_class_ids: class indices scored with ADD-S even in ADD protocol
+        (reference tools/test_LM.py sym handling; YCBV scores everything
+        ADD-S).
+      protocol: "adds_auc" (YCBV) or "add_0.1d" (LineMOD/LMO).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        model_points: np.ndarray,
+        sym_class_ids: Sequence[int] = (),
+        protocol: str = "adds_auc",
+        diameters: Optional[Sequence[float]] = None,
+        count_lost: bool = False,
+        logger=None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.model_points = jnp.asarray(model_points)
+        self.sym_class_ids = set(int(i) for i in sym_class_ids)
+        self.protocol = protocol
+        self.diameters = diameters
+        self.count_lost = count_lost
+        self.logger = logger
+
+        model_pts = self.model_points
+
+        @jax.jit
+        def run(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            cls = batch["labels"]["obj_idx"]
+            pts = model_pts[cls]  # [B, P, 3]
+            adds = add_s_batch(
+                pts, out["rot_pred"], out["trans_pred"],
+                batch["labels"]["rot_gt"], batch["labels"]["trans_gt"],
+            )
+            add = add_batch(
+                pts, out["rot_pred"], out["trans_pred"],
+                batch["labels"]["rot_gt"], batch["labels"]["trans_gt"],
+            )
+            return {
+                "adds": adds, "add": add,
+                "rot_pred": out["rot_pred"], "trans_pred": out["trans_pred"],
+            }
+
+        self._run = run
+
+    def evaluate(self, loader: Iterable) -> Dict[str, object]:
+        distances: List[float] = []
+        class_ids: List[int] = []
+        lost_per_class: Dict[int, int] = {}
+        for batch in loader:
+            res = self._run(self.variables, batch)
+            adds = np.asarray(res["adds"])
+            add = np.asarray(res["add"])
+            valid = np.asarray(batch["valid"])
+            cls = np.asarray(batch["labels"]["obj_idx"])
+            sym = np.asarray(batch["sym_flag"])
+            for i in range(len(valid)):
+                c = int(cls[i])
+                if valid[i] <= 0:
+                    # Lost detection handling is protocol-specific:
+                    # - LMO: counted in the success-rate denominator
+                    #   (reference tools/test_LMO.py:104-117),
+                    # - YCBV: scored as inf distance
+                    #   (reference tools/test_YCBV_stage1.py:192-199),
+                    # - LM: skipped entirely
+                    #   (reference tools/test_LM.py:105-108).
+                    if self.count_lost:
+                        lost_per_class[c] = lost_per_class.get(c, 0) + 1
+                    elif self.protocol == "adds_auc":
+                        distances.append(np.inf)
+                        class_ids.append(c)
+                    continue
+                use_adds = self.protocol == "adds_auc" or sym[i] > 0 or c in self.sym_class_ids
+                distances.append(float(adds[i] if use_adds else add[i]))
+                class_ids.append(c)
+        return self.summarize(distances, class_ids, lost_per_class)
+
+    def summarize(self, distances, class_ids, lost_per_class=None):
+        if self.protocol == "adds_auc":
+            num_classes = int(self.model_points.shape[0])
+            return per_class_auc_acc(
+                distances, class_ids, num_classes=num_classes, logger=self.logger
+            )
+        if self.protocol == "add_0.1d":
+            assert self.diameters is not None
+            lost = None
+            if self.count_lost:
+                lost = [
+                    (lost_per_class or {}).get(i, 0)
+                    for i in range(len(self.diameters))
+                ]
+            return success_at_diameter(
+                distances, class_ids, self.diameters,
+                num_lost_per_class=lost, logger=self.logger,
+            )
+        raise ValueError(self.protocol)
+
+
+class Stage2Evaluator(Evaluator):
+    """Stage-1 + iterative refiner eval (reference tools/test_YCBV_stage2.py:
+    140-260): run DCL-Net, then `iterations` refine/compose steps, then score
+    the final pose. The whole chain is one jitted graph."""
+
+    def __init__(self, model, variables, refiner, refiner_variables,
+                 model_points: np.ndarray, iterations: int = 2, **kw):
+        super().__init__(model, variables, model_points, **kw)
+        self.refiner = refiner
+        self.refiner_variables = refiner_variables
+        self.iterations = iterations
+
+        model_pts = self.model_points
+        refiner_apply = refiner.apply
+
+        @jax.jit
+        def run(variables, refiner_vars, batch):
+            out = model.apply(variables, batch, train=False)
+            rot, trans = refine_pose(
+                refiner_apply, refiner_vars,
+                out["points_inp"], out["F_Xo_p"], out["conf"],
+                out["rot_pred"], out["trans_pred"], iterations,
+            )
+            cls = batch["labels"]["obj_idx"]
+            pts = model_pts[cls]
+            adds = add_s_batch(
+                pts, rot, trans,
+                batch["labels"]["rot_gt"], batch["labels"]["trans_gt"],
+            )
+            add = add_batch(
+                pts, rot, trans,
+                batch["labels"]["rot_gt"], batch["labels"]["trans_gt"],
+            )
+            return {"adds": adds, "add": add, "rot_pred": rot, "trans_pred": trans}
+
+        iterations = self.iterations
+        self._run = lambda variables, batch: run(
+            variables, self.refiner_variables, batch
+        )

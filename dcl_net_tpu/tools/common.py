@@ -1,0 +1,96 @@
+"""Shared CLI scaffolding for the train/test tools.
+
+Mirrors the reference tools' init pattern (argparse -> Config.fromfile ->
+attribute patching -> logger + source backup, reference
+tools/train_YCBV_stage1.py:20-66) without the gorilla dependency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+from dcl_net_tpu.config import Config
+from dcl_net_tpu.registry import DATASETS, MODELS
+from dcl_net_tpu.train.logging import backup_source, get_logger, set_random_seed
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--model", default="DCL_Net", help="model registry name")
+    parser.add_argument("--config", required=True, help="path to yaml config")
+    parser.add_argument("--exp_id", default=0, type=int, help="experiment id")
+    parser.add_argument("--path_data", default="./datasets", help="dataset root")
+    parser.add_argument("--epoch", default=None, type=int, help="checkpoint epoch (eval)")
+    parser.add_argument("--checkpoint", default=None, help="explicit checkpoint path")
+    parser.add_argument("--log_root", default="./log", help="log directory root")
+    parser.add_argument(
+        "--override", nargs="*", default=[],
+        help="config overrides key.subkey=value",
+    )
+    return parser
+
+
+def init(args, tool_name: str) -> Tuple[object, Config]:
+    cfg = Config.fromfile(args.config)
+    if args.override:
+        cfg = cfg.apply_overrides(args.override)
+    config_name = os.path.splitext(os.path.basename(args.config))[0]
+    exp_name = f"{args.model}_{config_name}_id{args.exp_id}"
+    log_dir = os.path.join(args.log_root, exp_name)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg.exp_name = exp_name
+    cfg.log_dir = log_dir
+    cfg.model_name = args.model
+    cfg.path_data = args.path_data
+    if args.epoch is not None:
+        cfg.test_epoch = args.epoch
+    logger = get_logger(path_file=os.path.join(log_dir, f"{tool_name}_logger.log"))
+    backup_source(log_dir)
+    set_random_seed(int(cfg.get("rd_seed", 1)))
+    return logger, cfg
+
+
+def build_model(cfg: Config, dtype=None):
+    """Instantiate the registered model from cfg.model (reference resolves by
+    importlib module name, tools/train_YCBV_stage1.py:249-250)."""
+    import dcl_net_tpu.models  # noqa: F401  (populates the registry)
+
+    model_cls = MODELS.get(cfg.model.get("name", cfg.get("model_name", "DCL_Net")))
+    m = cfg.model
+    return model_cls(
+        voxelization_mode=int(m.voxelization_mode),
+        unit_voxel_extent=tuple(m.unit_voxel_extent),
+        voxel_num_limit=tuple(int(v) for v in m.voxel_num_limit),
+        n_inp=int(m.n_inp),
+        n_tmp=int(m.n_tmp),
+        kernel_size=int(m.backbone.kernel_size),
+        dtype=dtype,
+    )
+
+
+def build_train_dataset(cfg: Config):
+    name = cfg.hyper_dataset_train.name
+    ds_cfg = cfg.hyper_dataset_train
+    if name == "synthetic":
+        from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+
+        return SyntheticPoseDataset(
+            n_points=int(ds_cfg.input_size),
+            unit_voxel_extent=tuple(ds_cfg.unit_voxel_extent),
+            voxel_num_limit=tuple(int(v) for v in ds_cfg.voxel_num_limit),
+            length=int(ds_cfg.get("length", 10000)),
+        )
+    if name == "ycbv_train":
+        from dcl_net_tpu.data.ycbv import YCBVTrainDataset
+
+        root = os.path.join(cfg.path_data, "YCB_Video_Dataset", "root")
+        assets = os.path.join(cfg.path_data, "YCB_Video_Dataset")
+        return YCBVTrainDataset(ds_cfg, root, assets_dir=assets)
+    if name == "linemod":
+        from dcl_net_tpu.data.linemod import LineMODDataset
+
+        root = os.path.join(cfg.path_data, "Linemod_preprocessed")
+        return LineMODDataset("train", ds_cfg, root)
+    raise KeyError(name)

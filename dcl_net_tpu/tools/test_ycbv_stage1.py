@@ -1,0 +1,53 @@
+"""YCB-Video stage-1 eval CLI (reference tools/test_YCBV_stage1.py).
+
+Usage:
+  python -m dcl_net_tpu.tools.test_ycbv_stage1 --config configs/config_YCBV_bs32.yaml \
+      --path_data ./datasets --epoch 84 --exp_id 0
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    from dcl_net_tpu.tools.common import base_parser, build_model, init
+
+    args = base_parser("DCL-Net TPU YCBV stage-1 eval").parse_args(argv)
+    logger, cfg = init(args, "test_ycbv_stage1")
+
+    import jax
+
+    from dcl_net_tpu.data.loader import EvalFrameLoader
+    from dcl_net_tpu.data.ycbv import YCBVTestDataset
+    from dcl_net_tpu.eval.evaluator import Evaluator
+    from dcl_net_tpu.train.checkpoints import load_checkpoint, load_torch_checkpoint, convert_reference_state_dict
+
+    model = build_model(cfg)
+    root = os.path.join(cfg.path_data, "YCB_Video_Dataset", "root")
+    assets = os.path.join(cfg.path_data, "YCB_Video_Dataset")
+    dataset = YCBVTestDataset(cfg.hyper_dataset_test, root, assets_dir=assets)
+
+    ckpt_path = args.checkpoint or os.path.join(
+        cfg.log_dir, f"epoch_{cfg.get('test_epoch', 0)}"
+    )
+    if ckpt_path.endswith((".pth", ".pt")):
+        variables = convert_reference_state_dict(load_torch_checkpoint(ckpt_path))
+    else:
+        payload = load_checkpoint(ckpt_path)
+        variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+
+    evaluator = Evaluator(
+        model, variables, dataset.model_points_array(),
+        protocol="adds_auc", logger=logger,
+    )
+    loader = EvalFrameLoader(
+        dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16))
+    )
+    result = evaluator.evaluate(iter(loader))
+    logger.warning(f"ADD-S AUC mean: {result['auc_mean']}  <2cm: {result['acc_mean']}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Stage-1 training CLI (covers the reference tools/train_YCBV_stage1.py and
+tools/train_LM.py — the dataset/schedule choice comes from the config).
+
+Usage:
+  python -m dcl_net_tpu.tools.train_stage1 --config configs/config_YCBV_bs32.yaml \
+      --path_data ./datasets --exp_id 0
+  python -m dcl_net_tpu.tools.train_stage1 --config configs/config_synthetic_smoke.yaml
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    from dcl_net_tpu.tools.common import base_parser, build_model, build_train_dataset, init
+
+    args = base_parser("DCL-Net TPU stage-1 training").parse_args(argv)
+    logger, cfg = init(args, "train_stage1")
+    logger.warning("*" * 20 + " Start Logging " + "*" * 20)
+    logger.info(str(cfg.to_dict()))
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_cache")),
+    )
+
+    from dcl_net_tpu.data.loader import BatchLoader
+    from dcl_net_tpu.models.dcl_net import dcl_losses
+    from dcl_net_tpu.train.logging import ScalarWriter, parameter_count
+    from dcl_net_tpu.train.solver import Solver
+    from dcl_net_tpu.train.checkpoints import latest_checkpoint, load_checkpoint
+
+    logger.info("=> creating model ...")
+    model = build_model(cfg)
+    dataset = build_train_dataset(cfg)
+    loader = BatchLoader(
+        dataset,
+        batch_size=int(cfg.hyper_dataloader_train.bs),
+        shuffle=bool(cfg.hyper_dataloader_train.get("shuffle", True)),
+        drop_last=bool(cfg.hyper_dataloader_train.get("drop_last", True)),
+        num_workers=int(cfg.hyper_dataloader_train.get("num_workers", 8)),
+        seed=int(cfg.get("rd_seed", 1)),
+    )
+    writer = ScalarWriter(cfg.log_dir)
+    solver = Solver(
+        model, dcl_losses, cfg, loader, logger=logger,
+        checkpoint_dir=cfg.log_dir, writer=writer,
+    )
+
+    first_batch = next(iter(loader))
+    solver.initialize(first_batch, seed=int(cfg.get("rd_seed", 1)))
+    logger.warning(f"#Total parameters : {parameter_count(solver.state.params)}")
+
+    resume = latest_checkpoint(cfg.log_dir)
+    if resume:
+        logger.warning(f"resuming from {resume}")
+        payload = load_checkpoint(resume)
+        solver.state = solver.state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"], step=payload["step"],
+        )
+        solver.epoch = int(payload["epoch"])
+
+    solver.solve()
+    logger.warning("training done")
+
+
+if __name__ == "__main__":
+    main()

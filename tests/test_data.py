@@ -1,0 +1,146 @@
+"""Data pipeline tests on disk fixtures mimicking the real dataset formats."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dcl_net_tpu.config import Config
+from dcl_net_tpu.data.loader import BatchLoader, EvalFrameLoader
+from dcl_net_tpu.data.ply import read_ply, sample_points_uniformly
+from dcl_net_tpu.data import preprocess as pp
+
+from tests import fixtures
+
+CFG = Config({
+    "input_size": 256, "tmp_size": 256,
+    "unit_voxel_extent": [0.006, 0.006, 0.006],
+    "voxel_num_limit": [64, 64, 64],
+    "voxelization_mode": 4,
+})
+
+
+@pytest.fixture(scope="module")
+def ycbv_dirs(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("ycbv"))
+    return fixtures.make_ycbv_fixture(tmp)
+
+
+@pytest.fixture(scope="module")
+def lm_root(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("lm"))
+    return fixtures.make_linemod_fixture(tmp)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.randn(50, 3).astype(np.float32)
+    cols = rng.randint(0, 255, (50, 3))
+    fixtures._write_ply_ascii(str(tmp_path / "t.ply"), pts, cols)
+    ply = read_ply(str(tmp_path / "t.ply"))
+    np.testing.assert_allclose(ply["points"], pts, atol=1e-4)
+    np.testing.assert_allclose(ply["colors"], cols / 255.0, atol=1e-4)
+
+
+def test_mesh_sampling(rng):
+    # unit right triangle in z=0 plane: samples must stay inside
+    pts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    s, _ = sample_points_uniformly(pts, faces, 500, np.random.RandomState(0))
+    assert s.shape == (500, 3)
+    assert (s[:, 2] == 0).all()
+    assert (s[:, 0] >= 0).all() and (s[:, 1] >= 0).all()
+    assert (s[:, 0] + s[:, 1] <= 1 + 1e-6).all()
+
+
+def test_get_bbox_snaps():
+    m = np.zeros((480, 640), bool)
+    m[100:150, 200:280] = True
+    rmin, rmax, cmin, cmax = pp.get_bbox(m)
+    assert (rmax - rmin) in pp.BORDER_LIST
+    assert (cmax - cmin) in pp.BORDER_LIST
+    assert rmin <= 100 and rmax >= 150 and cmin <= 200 and cmax >= 280
+
+
+def test_ycbv_train_dataset(ycbv_dirs):
+    from dcl_net_tpu.data.ycbv import YCBVTrainDataset
+
+    root, assets = ycbv_dirs
+    np.random.seed(0)
+    ds = YCBVTrainDataset(CFG, root, assets_dir=assets)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["valid"] == 1.0
+    assert s["inp_feats"].shape == (256, 7)
+    assert s["tmp_feats"].shape == (256, 7)
+    assert s["inp_voxel_idx"].min() >= 0 and s["inp_voxel_idx"].max() < 64
+    # observed cloud must be near the gt pose of the CAD cloud:
+    # feats xyz are centered; check scale sanity
+    assert np.abs(s["inp_feats"][:, 4:]).max() < 0.2
+    # template feats: xyz are the CAD points (radius 0.04)
+    r = np.linalg.norm(s["tmp_feats"][:, 4:], axis=1)
+    np.testing.assert_allclose(r, 0.04, atol=1e-3)
+
+    loader = BatchLoader(ds, batch_size=2, num_workers=2, to_jax=False)
+    batches = list(iter(loader))
+    assert len(batches) == 1
+    assert batches[0]["inp"]["feats"].shape == (2, 256, 7)
+
+
+def test_ycbv_test_dataset_and_lost(ycbv_dirs):
+    from dcl_net_tpu.data.ycbv import YCBVTestDataset
+
+    root, assets = ycbv_dirs
+    np.random.seed(0)
+    ds = YCBVTestDataset(CFG, root, assets_dir=assets)
+    frame0 = ds[0]
+    # fixture hides class 2 in frame 0 -> 1 lost, 2 detected
+    assert len(frame0["lost"]) == 1
+    assert frame0["lost"][0]["obj_idx"] == 1
+    assert len(frame0["samples"]) == 2
+    mp = ds.model_points_array()
+    assert mp.shape == (3, 256, 3)
+
+    loader = EvalFrameLoader(ds, batch_size=4, num_workers=2)
+    batches = list(iter(loader))
+    total = sum(int(np.asarray(b["valid"]).shape[0]) for b in batches)
+    n_valid = sum(int(np.asarray(b["valid"]).sum()) for b in batches)
+    assert n_valid == 5  # 2 + 3 detected instances
+    # lost row kept its class label
+    found_lost = False
+    for b in batches:
+        v = np.asarray(b["valid"])
+        cls = np.asarray(b["labels"]["obj_idx"])
+        for i in range(len(v)):
+            if v[i] == 0 and cls[i] == 1:
+                found_lost = True
+    assert found_lost
+
+
+def test_linemod_train_dataset(lm_root):
+    from dcl_net_tpu.data.linemod import LineMODDataset
+
+    np.random.seed(0)
+    ds = LineMODDataset("train", CFG, lm_root)
+    assert len(ds) == 13
+    s = ds[0]
+    assert s["valid"] == 1.0
+    assert s["inp_feats"].shape == (256, 7)
+    assert s["sym_flag"] in (0.0, 1.0)
+    diam = ds.diameters()
+    assert len(diam) == 13
+    np.testing.assert_allclose(diam, 0.008, atol=1e-6)  # 80mm * 0.1 / 1000
+
+    # occlusion augmentation must not crash and returns valid shapes
+    s2 = ds[5]
+    assert s2["inp_feats"].shape == (256, 7)
+
+
+def test_linemod_test_mode(lm_root):
+    from dcl_net_tpu.data.linemod import LineMODDataset
+
+    np.random.seed(0)
+    ds = LineMODDataset("test", CFG, lm_root)
+    # fixture writes 10 identical test lines -> 1 kept per object
+    assert len(ds) == 13
+    s = ds[3]
+    assert s["valid"] == 1.0

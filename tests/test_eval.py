@@ -1,0 +1,118 @@
+"""Metric and evaluator tests against hand-computed oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcl_net_tpu.eval.metrics import (
+    voc_ap,
+    auc_and_acc,
+    per_class_auc_acc,
+    success_at_diameter,
+    add_batch,
+    add_s_batch,
+)
+from dcl_net_tpu.geometry.rotation import random_rotation
+
+
+def test_voc_ap_perfect():
+    # all distances 0 -> recall curve jumps to 1 at 0 -> AUC == 1.0 (x10 cap)
+    d = np.zeros(100)
+    auc, acc = auc_and_acc(d)
+    assert abs(auc - 100.0) < 1e-6
+    assert acc == 100.0
+
+
+def test_voc_ap_all_lost():
+    auc, acc = auc_and_acc([np.inf] * 10)
+    assert auc == 0.0 and acc == 0.0
+
+
+def test_auc_uniform_distances():
+    """Uniform distances on [0, 0.1]: accuracy rises linearly -> AUC ~ 50."""
+    d = np.linspace(1e-6, 0.0999, 2000)
+    auc, acc = auc_and_acc(d)
+    assert 48.0 < auc < 52.0
+    assert abs(acc - 20.0) < 2.0  # 2cm/10cm of the mass
+
+
+def test_auc_half_lost():
+    d = np.concatenate([np.zeros(50), np.full(50, np.inf)])
+    auc, _ = auc_and_acc(d)
+    assert abs(auc - 50.0) < 1.0
+
+
+def test_per_class_report():
+    d = [0.0] * 10 + [np.inf] * 10
+    c = [0] * 10 + [1] * 10
+    out = per_class_auc_acc(d, c, num_classes=2)
+    assert abs(out["auc_per_class"][0] - 100.0) < 1e-6
+    assert out["auc_per_class"][1] == 0.0
+    assert abs(out["auc_mean"] - 50.0) < 1e-6
+
+
+def test_success_at_diameter():
+    d = [0.005, 0.02, 0.005, 0.5]
+    c = [0, 0, 1, 1]
+    diam = [0.01, 0.01]  # already scaled by 0.1 as in reference
+    out = success_at_diameter(d, c, diam)
+    assert out["success_per_class"][0] == 0.5
+    assert out["success_per_class"][1] == 0.5
+    assert out["success_mean"] == 0.5
+    # LMO-style lost counting
+    out2 = success_at_diameter(d, c, diam, num_lost_per_class=[2, 0])
+    assert out2["success_per_class"][0] == 0.25
+
+
+def test_add_and_adds_batch(rng):
+    pts = jnp.asarray((rng.rand(3, 200, 3).astype(np.float32) - 0.5) * 0.1)
+    rot = random_rotation(jax.random.PRNGKey(0), (3,))
+    trans = jnp.asarray(rng.randn(3, 3).astype(np.float32) * 0.01)
+    # identical poses -> both metrics 0
+    add = np.asarray(add_batch(pts, rot, trans, rot, trans))
+    adds = np.asarray(add_s_batch(pts, rot, trans, rot, trans))
+    np.testing.assert_allclose(add, 0, atol=1e-5)
+    np.testing.assert_allclose(adds, 0, atol=1e-5)
+    # pure translation offset d -> ADD == d, ADD-S <= d
+    t2 = trans + jnp.asarray([0.02, 0.0, 0.0])
+    add = np.asarray(add_batch(pts, rot, t2, rot, trans))
+    adds = np.asarray(add_s_batch(pts, rot, t2, rot, trans))
+    np.testing.assert_allclose(add, 0.02, atol=1e-5)
+    assert (adds <= add + 1e-6).all()
+
+
+def test_evaluator_end_to_end(rng):
+    """Fake-model evaluator: perfect poses on valid rows, lost rows -> inf."""
+    from dcl_net_tpu.eval.evaluator import Evaluator
+
+    class FakeModel:
+        def apply(self, variables, batch, train=False):
+            return {
+                "rot_pred": batch["labels"]["rot_gt"],
+                "trans_pred": batch["labels"]["trans_gt"],
+            }
+
+    num_classes, P, B = 3, 64, 4
+    model_points = (rng.rand(num_classes, P, 3).astype(np.float32) - 0.5) * 0.1
+    ev = Evaluator(FakeModel(), {}, model_points, protocol="adds_auc")
+
+    def loader():
+        for _ in range(3):
+            rot = np.asarray(random_rotation(jax.random.PRNGKey(1), (B,)))
+            batch = {
+                "labels": {
+                    "rot_gt": jnp.asarray(rot.astype(np.float32)),
+                    "trans_gt": jnp.zeros((B, 3)),
+                    "obj_idx": jnp.asarray(np.arange(B) % num_classes, jnp.int32),
+                },
+                "sym_flag": jnp.zeros((B,)),
+                "valid": jnp.asarray([1.0, 1.0, 1.0, 0.0]),
+            }
+            yield batch
+
+    out = ev.evaluate(loader())
+    # classes 0..2 appear as valid rows with perfect poses; class 0 also
+    # collects the lost row (valid=0 -> inf)
+    assert out["auc_per_class"][1] > 99.9
+    assert out["auc_per_class"][2] > 99.9
+    assert out["auc_per_class"][0] < 99.0  # dragged down by lost detections

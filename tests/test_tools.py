@@ -1,0 +1,124 @@
+"""End-to-end CLI tool tests on CPU with tiny shapes."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests import fixtures
+
+SMALL_OVERRIDES = [
+    "model.n_inp=64", "model.n_tmp=64",
+    "model.unit_voxel_extent=[0.024,0.024,0.024]",
+    "model.voxel_num_limit=[16,16,16]",
+    "hyper_dataset_train.input_size=64", "hyper_dataset_train.tmp_size=64",
+    "hyper_dataset_train.unit_voxel_extent=[0.024,0.024,0.024]",
+    "hyper_dataset_train.voxel_num_limit=[16,16,16]",
+    "hyper_dataset_train.length=8",
+    "hyper_dataloader_train.bs=4", "hyper_dataloader_train.num_workers=2",
+    "max_epoch=1", "per_write=1",
+]
+
+
+def test_train_stage1_synthetic_smoke(tmp_path):
+    from dcl_net_tpu.tools.train_stage1 import main
+
+    log_root = str(tmp_path / "log")
+    main([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--log_root", log_root,
+        "--override", *SMALL_OVERRIDES,
+    ])
+    exp_dir = os.path.join(log_root, "DCL_Net_config_synthetic_smoke_id0")
+    assert os.path.isdir(os.path.join(exp_dir, "epoch_1"))
+    scalars = open(os.path.join(exp_dir, "scalars.jsonl")).read().strip().splitlines()
+    rec = json.loads(scalars[-1])
+    assert np.isfinite(rec["loss_all"])
+    # resume path: run again, should pick up epoch_1 and finish instantly
+    main([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--log_root", log_root,
+        "--override", *SMALL_OVERRIDES,
+    ])
+
+
+def test_stage2_train_synthetic_smoke(tmp_path):
+    from dcl_net_tpu.tools.train_ycbv_stage2 import main as main2
+
+    log_root = str(tmp_path / "log")
+    # first produce a stage-1 checkpoint
+    from dcl_net_tpu.tools.train_stage1 import main as main1
+
+    main1([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--log_root", log_root,
+        "--override", *SMALL_OVERRIDES,
+    ])
+    stage1_ckpt = os.path.join(
+        log_root, "DCL_Net_config_synthetic_smoke_id0", "epoch_1"
+    )
+    main2([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--log_root", log_root, "--exp_id", "2",
+        "--checkpoint_stage1", stage1_ckpt,
+        "--iteration", "2",
+        "--override", *SMALL_OVERRIDES,
+    ])
+    exp_dir = os.path.join(log_root, "DCL_Net_config_synthetic_smoke_id2")
+    assert os.path.isdir(os.path.join(exp_dir, "epoch_1"))
+
+
+def test_eval_ycbv_cli(tmp_path):
+    """test_ycbv_stage1 CLI on the YCBV disk fixture with a random-weight
+    checkpoint: checks dataset loading, checkpoint IO and metric output."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.tools.test_ycbv_stage1 import main as eval_main
+    from dcl_net_tpu.config import Config
+    from dcl_net_tpu.tools.common import build_model
+    from dcl_net_tpu.train.solver import TrainState
+    from dcl_net_tpu.train.checkpoints import save_checkpoint
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+
+    root, assets = fixtures.make_ycbv_fixture(str(tmp_path))
+    datasets_dir = os.path.dirname(assets)
+
+    overrides = [
+        "model.n_inp=64", "model.n_tmp=64",
+        "model.unit_voxel_extent=[0.024,0.024,0.024]",
+        "model.voxel_num_limit=[16,16,16]",
+        "hyper_dataset_test.input_size=64", "hyper_dataset_test.tmp_size=64",
+        "hyper_dataset_test.unit_voxel_extent=[0.024,0.024,0.024]",
+        "hyper_dataset_test.voxel_num_limit=[16,16,16]",
+        "hyper_dataloader_test.bs=4",
+    ]
+    cfg = Config.fromfile("configs/config_YCBV_bs32.yaml").apply_overrides(overrides)
+    model = build_model(cfg)
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=64, unit_voxel_extent=(0.024,) * 3,
+        voxel_num_limit=(16,) * 3, length=4,
+    )
+    batch = make_batch([ds[i] for i in range(2)]).to_dict()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=True
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables["batch_stats"], opt_state={},
+    )
+    log_root = str(tmp_path / "log")
+    ckpt_dir = os.path.join(log_root, "DCL_Net_config_YCBV_bs32_id0")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_checkpoint(ckpt_dir, state, 1)
+
+    result = eval_main([
+        "--config", "configs/config_YCBV_bs32.yaml",
+        "--log_root", log_root, "--path_data", datasets_dir,
+        "--epoch", "1",
+        "--override", *overrides,
+    ])
+    assert "auc_mean" in result
+    assert 0.0 <= result["auc_mean"] <= 100.0
