@@ -235,8 +235,22 @@ class YCBVTestDataset:
     def __len__(self):
         return len(self.list)
 
-    def model_points_array(self) -> np.ndarray:
-        """[num_classes, n_tmp, 3] CAD clouds in metres for the evaluator."""
+    def model_points_array(self, models_dir: Optional[str] = None,
+                           n_points: int = 2620) -> np.ndarray:
+        """[num_classes, P, 3] CAD clouds in metres for metric computation.
+
+        The reference eval scores against the first 2620 rows of each class's
+        ``models/<name>/points.xyz`` (reference tools/test_YCBV_stage1.py:
+        147-169); when that directory exists we read it, otherwise we fall
+        back to the sampled template clouds.
+        """
+        if models_dir and os.path.isdir(models_dir):
+            clouds = []
+            for name in self.class_names:
+                path = os.path.join(models_dir, name, "points.xyz")
+                pts = np.loadtxt(path, dtype=np.float32)[:n_points, :3]
+                clouds.append(pts)
+            return np.stack(clouds).astype(np.float32)
         return np.stack(
             [self.pc_cad[c] / 1000.0 for c in sorted(self.pc_cad)]
         ).astype(np.float32)

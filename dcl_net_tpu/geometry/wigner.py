@@ -1,0 +1,125 @@
+"""Wigner-D matrices for SO(3) representations (pure numpy/jnp).
+
+Capability parity with the reference's Wigner-D machinery
+(reference utils/transform3D.py:156-397: _z_rot_mat, wigner_D,
+D_from_angles, D_from_matrix), which loads precomputed J-matrix constants
+from utils/new_constants.pt. Here the real Wigner-d is computed from the
+explicit Wigner formula instead of shipped constants — dependency-free and
+exact for the small degrees used in equivariant feature pipelines.
+
+Conventions: real spherical-harmonic basis indexed m = -l..l, ZYZ Euler
+angles (alpha, beta, gamma) matching the reference's
+``D = Xa . J . Xb . J . Xc`` z-rotation sandwich structure.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from math import factorial, sqrt
+
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _small_d_coeffs(l: int):
+    """Precompute the Wigner small-d summation coefficients for degree l."""
+    coeffs = {}
+    for mp in range(-l, l + 1):
+        for m in range(-l, l + 1):
+            pref = sqrt(
+                factorial(l + mp) * factorial(l - mp)
+                * factorial(l + m) * factorial(l - m)
+            )
+            terms = []
+            for s in range(max(0, m - mp), min(l + m, l - mp) + 1):
+                denom = (
+                    factorial(l + m - s) * factorial(s)
+                    * factorial(mp - m + s) * factorial(l - mp - s)
+                )
+                terms.append((s, (-1) ** (mp - m + s) * pref / denom))
+            coeffs[(mp, m)] = terms
+    return coeffs
+
+
+def small_d(l: int, beta: float) -> np.ndarray:
+    """Complex-basis Wigner small-d matrix d^l_{m'm}(beta), [2l+1, 2l+1]."""
+    beta = float(beta)
+    c, s = np.cos(beta / 2.0), np.sin(beta / 2.0)
+    out = np.zeros((2 * l + 1, 2 * l + 1))
+    coeffs = _small_d_coeffs(l)
+    for (mp, m), terms in coeffs.items():
+        val = 0.0
+        for sidx, coef in terms:
+            p_cos = 2 * l + m - mp - 2 * sidx
+            p_sin = mp - m + 2 * sidx
+            val += coef * (c ** p_cos) * (s ** p_sin)
+        out[mp + l, m + l] = val
+    return out
+
+
+def wigner_d_complex(l: int, alpha: float, beta: float, gamma: float) -> np.ndarray:
+    """Complex-basis Wigner D: D^l_{m'm} = e^{-i m' a} d^l_{m'm}(b) e^{-i m g}."""
+    m = np.arange(-l, l + 1)
+    d = small_d(l, beta).astype(np.complex128)
+    return np.exp(-1j * m[:, None] * alpha) * d * np.exp(-1j * m[None, :] * gamma)
+
+
+@lru_cache(maxsize=64)
+def _complex_to_real_basis(l: int) -> np.ndarray:
+    """Unitary change of basis from complex to real spherical harmonics."""
+    n = 2 * l + 1
+    u = np.zeros((n, n), np.complex128)
+    isq = 1.0 / sqrt(2.0)
+    for m in range(-l, l + 1):
+        i = m + l
+        if m < 0:
+            u[i, l + m] = 1j * isq
+            u[i, l - m] = -1j * isq * (-1) ** m
+        elif m == 0:
+            u[i, l] = 1.0
+        else:
+            u[i, l - m] = isq
+            u[i, l + m] = isq * (-1) ** m
+    return u
+
+
+def wigner_D(l: int, alpha: float, beta: float, gamma: float) -> np.ndarray:
+    """Real-basis Wigner D matrix (reference wigner_D, transform3D.py:331-350).
+
+    Real and orthogonal; for l=1 it is conjugate (by a fixed permutation) to
+    the ordinary 3x3 rotation R_z(alpha) R_y(beta) R_z(gamma).
+    """
+    u = _complex_to_real_basis(l)
+    dc = wigner_d_complex(l, alpha, beta, gamma)
+    dr = u @ dc @ u.conj().T
+    assert np.abs(dr.imag).max() < 1e-10
+    return dr.real
+
+
+def matrix_to_zyz(r: np.ndarray):
+    """Rotation matrix -> ZYZ Euler angles (reference matrix_to_angles /
+    xyz_to_angles, transform3D.py:270-330)."""
+    beta = float(np.arccos(np.clip(r[2, 2], -1.0, 1.0)))
+    if abs(r[2, 2]) > 1 - 1e-9:  # gimbal: alpha + gamma degenerate
+        alpha = float(np.arctan2(r[1, 0], r[0, 0]))
+        gamma = 0.0
+    else:
+        alpha = float(np.arctan2(r[1, 2], r[0, 2]))
+        gamma = float(np.arctan2(r[2, 1], -r[2, 0]))
+    return alpha, beta, gamma
+
+
+def D_from_matrix(l: int, r: np.ndarray) -> np.ndarray:
+    """Wigner D of a rotation matrix (reference D_from_matrix,
+    transform3D.py:383-397)."""
+    return wigner_D(l, *matrix_to_zyz(r))
+
+
+def zyz_to_matrix(alpha: float, beta: float, gamma: float) -> np.ndarray:
+    ca, sa = np.cos(alpha), np.sin(alpha)
+    cb, sb = np.cos(beta), np.sin(beta)
+    cg, sg = np.cos(gamma), np.sin(gamma)
+    rz1 = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]])
+    ry = np.array([[cb, 0, sb], [0, 1, 0], [-sb, 0, cb]])
+    rz2 = np.array([[cg, -sg, 0], [sg, cg, 0], [0, 0, 1]])
+    return rz1 @ ry @ rz2

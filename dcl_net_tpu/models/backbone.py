@@ -80,6 +80,11 @@ class MultiScalePointFeatures(nn.Module):
     voxel_num_limit: Sequence[int] = (64, 64, 64)
     scale_list: Sequence[int] = (2, 4, 6, 8)
     capacities: Sequence[int] = (8192, 2048, 512, 64)
+    # "local": windowed 3-NN straight off the dense grid (fast path, see
+    # ops/grid_interp.py); "exact": global 3-NN over the extracted occupied
+    # list (bit-matches the reference's global search).
+    interp_mode: str = "local"
+    window: int = 5
 
     @nn.compact
     def __call__(
@@ -87,15 +92,23 @@ class MultiScalePointFeatures(nn.Module):
         points: jnp.ndarray,  # [B, N, 3] metric
         pyramid: List[Tuple[jnp.ndarray, jnp.ndarray]],
     ) -> jnp.ndarray:
+        from dcl_net_tpu.ops.grid_interp import local_grid_interpolate
+
         unit = np.asarray(self.unit_voxel_extent, np.float32)
         limit = np.asarray(self.voxel_num_limit, np.float32)
         offset = -0.5 * unit * limit  # reference Modules.py:234
         feats_all = []
         for level, (feats, mask) in enumerate(pyramid):
-            grid_n = int(np.prod(feats.shape[1:4]))
-            cap = min(int(self.capacities[level]), grid_n)
-            coords, vfeats, vmask = dense_to_sparse(feats, mask, cap)
-            centers = voxel_centers(coords, unit, float(self.scale_list[level]), offset)
-            interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
+            scale = float(self.scale_list[level])
+            if self.interp_mode == "local":
+                interp = local_grid_interpolate(
+                    points, feats, mask, unit, scale, offset, self.window
+                )
+            else:
+                grid_n = int(np.prod(feats.shape[1:4]))
+                cap = min(int(self.capacities[level]), grid_n)
+                coords, vfeats, vmask = dense_to_sparse(feats, mask, cap)
+                centers = voxel_centers(coords, unit, scale, offset)
+                interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
             feats_all.append(interp)
         return jnp.concatenate(feats_all, axis=-1)

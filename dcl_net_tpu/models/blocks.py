@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dcl_net_tpu.ops.sparse_conv import (
@@ -75,6 +76,14 @@ class SparseConvBlock(nn.Module):
     Matches BasicBlock_SPCONV (reference models/Modules.py:12-57) with the
     reference backbone's fixed choices: stride 1, padding k//2, bias False
     (reference models/Modules.py:132-141).
+
+    The block owns its conv kernel and BN parameters directly so that in eval
+    mode the BN running stats FOLD into the conv weights (w' = w * s,
+    b' = beta - mean * s with s = scale/sqrt(var+eps)) — one conv + relu +
+    mask, zero extra elementwise passes over the 64^3 grids.
+
+    Input invariant: x is zero at inactive voxels (maintained by the
+    post-activation mask multiply of the previous block / the voxelizer).
     """
 
     features: int
@@ -83,6 +92,8 @@ class SparseConvBlock(nn.Module):
     use_bias: bool = False
     norm: bool = True
     act: str = "relu"
+    momentum: float = 0.9
+    epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -90,18 +101,43 @@ class SparseConvBlock(nn.Module):
         self, x: jnp.ndarray, mask: jnp.ndarray, train: bool
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         k = self.kernel_size
-        x = x * mask[..., None].astype(x.dtype)
-        x = nn.Conv(
-            self.features,
-            kernel_size=(k, k, k),
-            padding=k // 2,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-        )(x)
-        new_mask = mask if self.subm else dilate_mask(mask, k)
-        x = x * new_mask[..., None].astype(x.dtype)
+        cin, cout = x.shape[-1], self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, k, cin, cout)
+        )
         if self.norm:
-            x = MaskedBatchNorm(dtype=self.dtype)(x, new_mask, train)
+            scale = self.param("scale", nn.initializers.ones, (cout,))
+            bias = self.param("bias", nn.initializers.zeros, (cout,))
+            ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((cout,)))
+            ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((cout,)))
+
+        new_mask = mask if self.subm else dilate_mask(mask, k)
+        dt = self.dtype or x.dtype
+
+        def conv(inp, w, stride=1):
+            return jax.lax.conv_general_dilated(
+                inp.astype(dt), w.astype(dt), (stride,) * 3,
+                [(k // 2, k // 2)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        if self.norm and not train:
+            # eval: fold running stats into the kernel -> single conv
+            s = scale / jnp.sqrt(ra_var.value + self.epsilon)
+            w_eff = kernel * s  # broadcast over last (cout) axis
+            b_eff = bias - ra_mean.value * s
+            x = conv(x, w_eff) + b_eff.astype(dt)
+        else:
+            x = conv(x, kernel)
+            if self.norm:
+                xf = x.astype(jnp.float32) * new_mask[..., None]
+                mean, var = masked_batch_norm_stats(xf, new_mask)
+                if not self.is_initializing():
+                    m_count = jnp.maximum(jnp.sum(new_mask.astype(jnp.float32)), 2.0)
+                    unbiased = var * m_count / (m_count - 1.0)
+                    ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                    ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                x = ((x - mean) / jnp.sqrt(var + self.epsilon) * scale + bias).astype(dt)
         x = _ACTS[self.act](x)
         # BN bias/act shift padded voxels off zero; re-zero them so the next
         # conv sees true sparse semantics.

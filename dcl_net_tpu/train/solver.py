@@ -239,9 +239,21 @@ class Solver:
 
     def train_epoch(self) -> Dict[str, float]:
         per_write = int(self.cfg.get("per_write", 10))
+        # Profiling hook (aux-subsystem parity with the reference's manual
+        # T_data/T_forward/T_backward segmentation, train_YCBV_stage1.py:
+        # 114-132 — here additionally a real device trace): set
+        # cfg.profile_dir (or DCLX_PROFILE_DIR) to capture steps 2-5 of the
+        # first epoch with jax.profiler.
+        import os as _os
+
+        profile_dir = self.cfg.get("profile_dir") or _os.environ.get("DCLX_PROFILE_DIR")
         buffer: Dict[str, list] = {}
         end = time.time()
         for i, batch in enumerate(self.loader):
+            if profile_dir and self.epoch == 0 and i == 2:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and self.epoch == 0 and i == 5:
+                jax.profiler.stop_trace()
             t_data = time.time() - end
             if self.state is None:
                 self.initialize(batch)

@@ -167,3 +167,46 @@ def make_linemod_fixture(tmpdir: str, seed: int = 0):
         with open(os.path.join(d, "test.txt"), "w") as f:
             f.write("0000\n" * 10)  # test mode keeps every 10th line
     return root
+
+
+def make_lmo_fixture(tmpdir: str, lm_root: str, seed: int = 0):
+    """Miniature Occlusion-LineMOD tree reusing the LM fixture's models."""
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    root = os.path.join(tmpdir, "OCCLUSION_LINEMOD")
+    masks_root = os.path.join(tmpdir, "LMO_Masks")
+    os.makedirs(os.path.join(root, "RGB-D", "rgb_noseg"), exist_ok=True)
+    os.makedirs(os.path.join(root, "RGB-D", "depth_noseg"), exist_ok=True)
+
+    cam = dict(cx=325.26110, cy=242.04899, fx=572.41140, fy=573.57043)
+    id2name = {1: "ape", 5: "can", 6: "cat", 8: "driller", 9: "duck",
+               10: "eggbox", 11: "glue", 12: "holepuncher"}
+    img_id = 0
+    for item, name in id2name.items():
+        os.makedirs(os.path.join(root, "valid_poses", name), exist_ok=True)
+        os.makedirs(os.path.join(masks_root, name), exist_ok=True)
+        img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+        depth = np.zeros((480, 640), np.uint16)
+        mask = np.zeros((480, 640), np.uint8)
+        center = np.array([0.0, 0.0, 900.0])
+        _render_sphere(depth, mask, cam["cx"], cam["cy"], cam["fx"],
+                       cam["fy"], center, 40.0, 1, 1.0)
+        Image.fromarray(img).save(
+            os.path.join(root, "RGB-D", "rgb_noseg", f"color_{img_id:05d}.png"))
+        Image.fromarray(depth).save(
+            os.path.join(root, "RGB-D", "depth_noseg", f"depth_{img_id:05d}.png"))
+        Image.fromarray(mask).save(os.path.join(masks_root, name, "0.png"))
+        # pose in the raw LMO frame: the loader applies alignment flipping +
+        # R_lo; write a pose whose flipped version is the render pose
+        r_raw = np.diag([1.0, -1.0, -1.0])  # flip^-1 @ I
+        t_raw = np.array([0.0, -0.0, -0.9])
+        with open(os.path.join(root, "valid_poses", name, "0.txt"), "w") as f:
+            f.write("rotation:\n")
+            for row in r_raw:
+                f.write(" ".join(str(v) for v in row) + "\n")
+            f.write("center:\n")
+            f.write(" ".join(str(v) for v in t_raw) + "\n")
+            f.write(f"{img_id}\n")
+        img_id += 1
+    return root, masks_root

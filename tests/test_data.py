@@ -144,3 +144,23 @@ def test_linemod_test_mode(lm_root):
     assert len(ds) == 13
     s = ds[3]
     assert s["valid"] == 1.0
+
+
+def test_lmo_dataset(lm_root, tmp_path):
+    from dcl_net_tpu.data.linemod import OcclusionLineMODDataset
+
+    root, masks = fixtures.make_lmo_fixture(str(tmp_path), lm_root)
+    np.random.seed(0)
+    ds = OcclusionLineMODDataset(
+        "eval", CFG, root, os.path.join(lm_root, "models"), masks_dir=masks
+    )
+    assert len(ds) == 8
+    s = ds[0]
+    assert s["valid"] == 1.0
+    assert s["inp_feats"].shape == (256, 7)
+    # the pose stored by the loader must compose alignment flipping:
+    # R = flip @ r_raw @ R_lo -> orthonormal
+    r = s["rot_gt"]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    d = ds.diameters(os.path.join(lm_root, "models", "models_info.yml"))
+    assert len(d) == 8

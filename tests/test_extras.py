@@ -1,0 +1,137 @@
+"""Tests for parity components: Wigner-D, PointNet++ modules, spconv extras."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dcl_net_tpu.geometry import wigner
+
+
+def test_wigner_l0_and_l1():
+    # l=0 is always [[1]]
+    d = wigner.wigner_D(0, 0.3, 0.7, -0.2)
+    np.testing.assert_allclose(d, [[1.0]], atol=1e-12)
+    # l=1 real Wigner D is orthogonal and conjugate to the rotation matrix:
+    # same trace and determinant
+    a, b, g = 0.4, 1.1, -0.8
+    d1 = wigner.wigner_D(1, a, b, g)
+    r = wigner.zyz_to_matrix(a, b, g)
+    np.testing.assert_allclose(d1 @ d1.T, np.eye(3), atol=1e-10)
+    np.testing.assert_allclose(np.trace(d1), np.trace(r), atol=1e-10)
+    np.testing.assert_allclose(np.linalg.det(d1), 1.0, atol=1e-10)
+
+
+def test_wigner_composition():
+    """D(R1 R2) == D(R1) D(R2) — the defining representation property."""
+    rng = np.random.RandomState(0)
+    for l in (1, 2, 3):
+        a1, b1, g1 = rng.uniform(-np.pi, np.pi, 3) * [1, 0.5, 1]
+        a2, b2, g2 = rng.uniform(-np.pi, np.pi, 3) * [1, 0.5, 1]
+        b1, b2 = abs(b1), abs(b2)
+        r1 = wigner.zyz_to_matrix(a1, b1, g1)
+        r2 = wigner.zyz_to_matrix(a2, b2, g2)
+        d12 = wigner.D_from_matrix(l, r1 @ r2)
+        d1 = wigner.wigner_D(l, a1, b1, g1)
+        d2 = wigner.wigner_D(l, a2, b2, g2)
+        np.testing.assert_allclose(d12, d1 @ d2, atol=1e-8)
+
+
+def test_wigner_orthogonal_higher_l():
+    for l in (2, 4):
+        d = wigner.wigner_D(l, 0.3, 0.9, 1.2)
+        np.testing.assert_allclose(d @ d.T, np.eye(2 * l + 1), atol=1e-9)
+
+
+def test_pointnet_sa_and_fp_modules(rng):
+    from dcl_net_tpu.ops.pointnet_modules import (
+        PointnetSAModuleMSG,
+        PointnetFPModule,
+        query_and_group,
+        group_all,
+    )
+
+    B, N = 2, 128
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32) * 0.1)
+    feats = jnp.asarray(rng.randn(B, N, 8).astype(np.float32))
+
+    sa = PointnetSAModuleMSG(
+        npoint=32, radii=[0.1, 0.2], nsamples=[8, 16],
+        mlps=[[16, 16], [16, 32]],
+    )
+    vs = sa.init(jax.random.PRNGKey(0), xyz, feats, True)
+    (new_xyz, new_feats), _ = sa.apply(vs, xyz, feats, True, mutable=["batch_stats"])
+    assert new_xyz.shape == (B, 32, 3)
+    assert new_feats.shape == (B, 32, 48)  # 16 + 32 concat
+
+    fp = PointnetFPModule(mlp=[32, 16])
+    vs2 = fp.init(jax.random.PRNGKey(1), xyz, new_xyz, feats, new_feats, True)
+    out, _ = fp.apply(vs2, xyz, new_xyz, feats, new_feats, True, mutable=["batch_stats"])
+    assert out.shape == (B, N, 16)
+
+    g = query_and_group(xyz, new_xyz, 0.2, 8, feats)
+    assert g.shape == (B, 32, 8, 11)
+    ga = group_all(xyz, feats)
+    assert ga.shape == (B, 1, N, 11)
+
+
+def test_nms():
+    from dcl_net_tpu.ops.extras import nms
+
+    boxes = np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],   # overlaps box 0 heavily
+        [20, 20, 30, 30],
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    keep = nms(boxes, scores, iou_threshold=0.5)
+    np.testing.assert_array_equal(sorted(keep), [0, 2])
+
+
+def test_voxel_generator():
+    from dcl_net_tpu.ops.extras import VoxelGenerator
+
+    gen = VoxelGenerator([0.1, 0.1, 0.1], [0, 0, 0, 1, 1, 1], max_num_points=3)
+    pts = np.array([
+        [0.05, 0.05, 0.05, 1.0],
+        [0.06, 0.04, 0.05, 2.0],
+        [0.95, 0.95, 0.95, 3.0],
+        [5.0, 5.0, 5.0, 4.0],    # out of range
+    ], np.float32)
+    voxels, coords, counts = gen.generate(pts)
+    assert len(voxels) == 2
+    np.testing.assert_array_equal(counts, [2, 1])
+    np.testing.assert_array_equal(coords[0], [0, 0, 0])  # zyx
+
+
+def test_sparse_field_max_pool(rng):
+    from dcl_net_tpu.ops.extras import sparse_field_max_pool
+
+    B, D, F, C = 1, 4, 2, 3
+    feats = np.zeros((B, D, D, D, F, C), np.float32)
+    mask = np.zeros((B, D, D, D), np.float32)
+    # two occupied voxels in one pooling window with different norms
+    feats[0, 0, 0, 0, 0] = [1.0, 0, 0]
+    feats[0, 0, 0, 1, 0] = [0, 3.0, 0]     # larger norm, must win whole field
+    feats[0, 0, 0, 0, 1] = [0, 0, 5.0]     # field 1: first voxel wins
+    feats[0, 0, 0, 1, 1] = [0.1, 0, 0]
+    mask[0, 0, 0, 0] = 1
+    mask[0, 0, 0, 1] = 1
+    out, new_mask = sparse_field_max_pool(jnp.asarray(feats), jnp.asarray(mask), 3, 2)
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0, 0, 0, 0, 0], [0, 3.0, 0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 0, 0, 0, 1], [0, 0, 5.0], atol=1e-6)
+    assert np.asarray(new_mask)[0, 0, 0, 0] == 1
+
+
+def test_sec_reductions(rng):
+    from dcl_net_tpu.ops.extras import sec_mean, sec_min, sec_max
+
+    feats = jnp.asarray(rng.randn(10, 4).astype(np.float32))
+    offsets = jnp.asarray([0, 3, 7, 10])
+    m = np.asarray(sec_mean(feats, offsets, 3))
+    np.testing.assert_allclose(m[0], np.asarray(feats)[:3].mean(0), atol=1e-5)
+    np.testing.assert_allclose(m[2], np.asarray(feats)[7:].mean(0), atol=1e-5)
+    mn = np.asarray(sec_min(feats, offsets, 3))
+    np.testing.assert_allclose(mn[1], np.asarray(feats)[3:7].min(0), atol=1e-6)
+    mx = np.asarray(sec_max(feats, offsets, 3))
+    np.testing.assert_allclose(mx[1], np.asarray(feats)[3:7].max(0), atol=1e-6)

@@ -215,3 +215,82 @@ def test_gather_and_grouping(rng):
     gout = np.asarray(grouping_operation(jnp.asarray(f), jnp.asarray(gidx)))
     for bi in range(2):
         np.testing.assert_allclose(gout[bi], f[bi][gidx[bi]])
+
+
+def test_cpu_voxelizer_native_vs_oracle(rng):
+    """Native C++ voxelizer == numpy fallback == reference semantics."""
+    from dcl_net_tpu.ops import cpu_voxelizer as cv
+
+    coords = np.concatenate([
+        rng.randint(0, 2, (200, 1)),  # batch ids
+        rng.randint(0, 6, (200, 3)),
+    ], axis=1).astype(np.int64)
+    feats = rng.randn(200, 5).astype(np.float32)
+
+    out_coords, imap, counts = cv.voxelization_idx(coords)
+    # every point maps to a slot with its own coords
+    np.testing.assert_array_equal(out_coords[imap], coords)
+    assert counts.sum() == 200
+    # first-seen order: slot ids increase with first occurrence
+    seen = {}
+    for i, c in enumerate(map(tuple, coords)):
+        if c not in seen:
+            seen[c] = imap[i]
+    assert sorted(seen.values()) == list(range(len(seen)))
+
+    vox = cv.voxelization(feats, imap, counts, mode=4)
+    for s in range(len(counts)):
+        expect = feats[imap == s].mean(axis=0)
+        np.testing.assert_allclose(vox[s], expect, atol=1e-5)
+
+    rec = cv.point_recover(vox, imap)
+    np.testing.assert_allclose(rec, vox[imap], atol=1e-6)
+
+    if cv.have_native():
+        # cross-check native against the numpy fallback path explicitly
+        lib = cv._LIB
+        cv._LIB = None
+        try:
+            oc2, im2, ct2 = cv.voxelization_idx(coords)
+        finally:
+            cv._LIB = lib
+        np.testing.assert_array_equal(out_coords, oc2)
+        np.testing.assert_array_equal(imap, im2)
+        np.testing.assert_array_equal(counts, ct2)
+
+
+def test_local_grid_interpolate_matches_exact(rng):
+    """Windowed 3-NN off the dense grid must match the global exact path on
+    realistic (surface-like) data, including the scale-quirk levels."""
+    from dcl_net_tpu.ops.grid_interp import local_grid_interpolate
+    from dcl_net_tpu.ops.sparse_conv import dense_to_sparse, voxel_centers
+    from dcl_net_tpu.ops.voxelize import voxelize_dense, point_to_voxel_index
+
+    B, N, D, C = 2, 200, 16, 6
+    unit = np.array([0.024, 0.024, 0.024], np.float32)
+    offset = -0.5 * unit * D
+    # surface-like cloud
+    v = rng.randn(B, N, 3).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    pts = jnp.asarray(v * 0.12)
+    vidx = point_to_voxel_index(pts, unit, [D] * 3)
+    feats = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    grid, cnt = voxelize_dense(feats, vidx, (D, D, D), mode=4)
+    mask = (cnt > 0).astype(jnp.float32)
+
+    # downsample grid to stride-2 level (like pyramid level 0) by avg pool
+    from dcl_net_tpu.ops.sparse_conv import sparse_avg_pool
+
+    g1, m1 = sparse_avg_pool(grid, mask, 3, 2)
+
+    for scale in (2.0, 3.0):  # 3.0 on the stride-2 grid mimics the 6-on-8 quirk
+        exact_coords, exact_feats, exact_mask = dense_to_sparse(g1, m1, (D // 2) ** 3)
+        centers = voxel_centers(exact_coords, unit, scale, offset)
+        from dcl_net_tpu.ops.knn import nearest_neighbor_interpolate
+
+        exact = np.asarray(nearest_neighbor_interpolate(pts, centers, exact_feats, exact_mask))
+        local = np.asarray(local_grid_interpolate(pts, g1, m1, unit, scale, offset, window=5))
+        # agreement on nearly all points (window misses only pathological gaps)
+        err = np.abs(local - exact).max(axis=-1)
+        agree = (err < 1e-4).mean()
+        assert agree > 0.97, f"scale {scale}: agreement {agree}"
