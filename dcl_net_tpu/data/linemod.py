@@ -174,6 +174,20 @@ class _LMBase:
         )
         return cloud / 1000.0  # LM depths are mm with cam_scale 1
 
+    def template_bank(self):
+        """Per-class template inputs {feats [C,M,7], voxel_idx [C,M,3]} for
+        the evaluator's template-feature cache."""
+        feats, vidx = [], []
+        for obj in self.objlist:
+            pts = (self.pc_cad[obj] / 1000.0).astype(np.float32)
+            f, v = pp.assemble_features(
+                pts, self.rgb_cad[obj].astype(np.float32),
+                self.unit, self.total, self.limit,
+            )
+            feats.append(f)
+            vidx.append(v)
+        return {"feats": np.stack(feats), "voxel_idx": np.stack(vidx)}
+
 
 @DATASETS.register("linemod")
 class LineMODDataset(_LMBase):

@@ -255,6 +255,20 @@ class YCBVTestDataset:
             [self.pc_cad[c] / 1000.0 for c in sorted(self.pc_cad)]
         ).astype(np.float32)
 
+    def template_bank(self):
+        """Per-class template inputs {feats [C,M,7], voxel_idx [C,M,3]} for
+        the evaluator's template-feature cache."""
+        feats, vidx = [], []
+        for c in sorted(self.pc_cad):
+            pts = (self.pc_cad[c] / 1000.0).astype(np.float32)
+            f, v = pp.assemble_features(
+                pts, self.rgb_cad[c].astype(np.float32),
+                self.unit, self.total, self.limit,
+            )
+            feats.append(f)
+            vidx.append(v)
+        return {"feats": np.stack(feats), "voxel_idx": np.stack(vidx)}
+
     def __getitem__(self, index: int):
         from PIL import Image
         import scipy.io as scio

@@ -52,8 +52,13 @@ class Evaluator:
         protocol: str = "adds_auc",
         diameters: Optional[Sequence[float]] = None,
         count_lost: bool = False,
+        template_bank: Optional[Dict[str, np.ndarray]] = None,
         logger=None,
     ):
+        """template_bank: optional {"feats": [C, M, 7], "voxel_idx": [C, M, 3]}
+        per-class CAD template inputs. When given, the template branch is
+        encoded ONCE per class and cached — roughly halving per-frame
+        inference (impossible in the reference's monolithic forward)."""
         self.model = model
         self.variables = variables
         self.model_points = jnp.asarray(model_points)
@@ -65,9 +70,7 @@ class Evaluator:
 
         model_pts = self.model_points
 
-        @jax.jit
-        def run(variables, batch):
-            out = model.apply(variables, batch, train=False)
+        def score(out, batch):
             cls = batch["labels"]["obj_idx"]
             pts = model_pts[cls]  # [B, P, 3]
             adds = add_s_batch(
@@ -83,7 +86,42 @@ class Evaluator:
                 "rot_pred": out["rot_pred"], "trans_pred": out["trans_pred"],
             }
 
+        self._tmp_cache = None
+        if template_bank is not None:
+            tmp_cache = self._encode_template_bank(template_bank)
+            self._tmp_cache = tmp_cache
+
+            @jax.jit
+            def run(variables, batch):
+                obs = model.apply(
+                    variables, batch, train=False,
+                    method=model.encode_observed,
+                )
+                cls = batch["labels"]["obj_idx"]
+                tmp = jax.tree.map(lambda x: x[cls], tmp_cache)
+                out = model.apply(variables, obs, tmp, train=False,
+                                  method=model.fuse)
+                return score(out, batch)
+        else:
+
+            @jax.jit
+            def run(variables, batch):
+                out = model.apply(variables, batch, train=False)
+                return score(out, batch)
+
         self._run = run
+
+    def _encode_template_bank(self, bank):
+        """Encode all class templates once: [C, M, ...] feature cache."""
+        tmp_batch = {"tmp": {
+            "feats": jnp.asarray(bank["feats"]),
+            "voxel_idx": jnp.asarray(bank["voxel_idx"]),
+        }}
+        return jax.jit(
+            lambda v, b: self.model.apply(
+                v, b, train=False, method=self.model.encode_template
+            )
+        )(self.variables, tmp_batch)
 
     def evaluate(self, loader: Iterable) -> Dict[str, object]:
         distances: List[float] = []
@@ -152,10 +190,20 @@ class Stage2Evaluator(Evaluator):
 
         model_pts = self.model_points
         refiner_apply = refiner.apply
+        tmp_cache = getattr(self, "_tmp_cache", None)
 
         @jax.jit
         def run(variables, refiner_vars, batch):
-            out = model.apply(variables, batch, train=False)
+            if tmp_cache is not None:
+                obs = model.apply(variables, batch, train=False,
+                                  method=model.encode_observed)
+                tmp = jax.tree.map(
+                    lambda x: x[batch["labels"]["obj_idx"]], tmp_cache
+                )
+                out = model.apply(variables, obs, tmp, train=False,
+                                  method=model.fuse)
+            else:
+                out = model.apply(variables, batch, train=False)
             rot, trans = refine_pose(
                 refiner_apply, refiner_vars,
                 out["points_inp"], out["F_Xo_p"], out["conf"],

@@ -6,6 +6,16 @@ backbones, multi-scale interpolation, bidirectional feature-disengagement
 attention (FDA), confidence-weighted pose regression and the SVD
 orthogonalization all compile into a single XLA program.
 
+The forward is split into three jointly-jittable stages:
+  encode_observed / encode_template: voxelize -> backbone -> multi-scale
+    interp -> the four disengage heads of that branch,
+  fuse: bidirectional attention + confidence + pose heads.
+__call__ = fuse(encode_observed(x), encode_template(y)) reproduces the
+reference forward exactly. Because the template branch depends only on the
+(fixed, per-class) CAD cloud, eval can run encode_template once per class and
+reuse it for every frame — a ~2x inference saving unavailable to the
+reference's monolithic forward (see eval/evaluator.py).
+
 Data contract (fixed shapes, channel-last):
   batch = {
     "inp":  {"feats": [B,N,7], "voxel_idx": [B,N,3]},   # [1, rgb, xyz]
@@ -14,9 +24,9 @@ Data contract (fixed shapes, channel-last):
     "sym_flag": [B]  (1.0 = symmetric object),
     "valid":    [B]  (1.0 = real sample; padding rows carry 0.0),
   }
-which mirrors the reference collate output (YCBV/dataloader_train_YCBV.py:
-241-266) with the ragged (B*1024, 7) flattening replaced by a batched layout
-and the CPU hash-map voxelization replaced by an in-graph scatter.
+mirroring the reference collate output (YCBV/dataloader_train_YCBV.py:
+241-266) with the ragged flattening replaced by a batched layout and the CPU
+hash-map voxelization replaced by an in-graph scatter.
 """
 
 from __future__ import annotations
@@ -83,91 +93,127 @@ class DCLNet(nn.Module):
     kernel_size: int = 3
     capacities: Sequence[int] = (8192, 2048, 512, 64)
     scale_list: Sequence[int] = (2, 4, 6, 8)  # reference quirk, DCL_Net.py:54
+    interp_mode: str = "exact"
     dtype: Optional[jnp.dtype] = None  # compute dtype for the big matmuls
 
-    @nn.compact
-    def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, jnp.ndarray]:
+    def setup(self):
+        kw = dict(kernel_size=self.kernel_size, dtype=self.dtype)
+        self.backbone_inp = SparseBackbone(name="backbone_inp", **kw)
+        self.backbone_tmp = SparseBackbone(name="backbone_tmp", **kw)
+        pf_kw = dict(
+            unit_voxel_extent=tuple(self.unit_voxel_extent),
+            voxel_num_limit=tuple(int(d) for d in self.voxel_num_limit),
+            scale_list=tuple(self.scale_list),
+            capacities=tuple(self.capacities),
+            interp_mode=self.interp_mode,
+        )
+        self.point_feats_inp = MultiScalePointFeatures(name="point_feats_inp", **pf_kw)
+        self.point_feats_tmp = MultiScalePointFeatures(name="point_feats_tmp", **pf_kw)
+
+        self.disengage_Xc_p1 = _disengager("disengage_Xc_p1", 256, self.dtype)
+        self.disengage_Xc_m1 = _disengager("disengage_Xc_m1", 64, self.dtype)
+        self.disengage_Xc_p2 = _disengager("disengage_Xc_p2", 256, self.dtype)
+        self.disengage_Xc_m2 = _disengager("disengage_Xc_m2", 64, self.dtype)
+        self.disengage_Yo_p1 = _disengager("disengage_Yo_p1", 256, self.dtype)
+        self.disengage_Yo_m1 = _disengager("disengage_Yo_m1", 64, self.dtype)
+        self.disengage_Yo_p2 = _disengager("disengage_Yo_p2", 256, self.dtype)
+        self.disengage_Yo_m2 = _disengager("disengage_Yo_m2", 64, self.dtype)
+
+        self.regressor_Xo = _head("regressor_Xo", (256, 128, 3),
+                                  ("relu", "relu", "none"), (False,) * 3, self.dtype)
+        self.regressor_Yc = _head("regressor_Yc", (256, 128, 3),
+                                  ("relu", "relu", "none"), (False,) * 3, self.dtype)
+        self.regressor_conf = _head("regressor_conf", (128, 128, 1),
+                                    ("relu", "relu", "none"), (False,) * 3, self.dtype)
+        self.regressor_conf_bi = _head("regressor_conf_bi", (128, 128, 1),
+                                       ("relu", "relu", "none"), (False,) * 3, self.dtype)
+        self.neck_fuser = _head("neck_fuser", (512, 512, 1024),
+                                ("relu",) * 3, (True,) * 3, self.dtype)
+        self.neck_fuser_bi = _head("neck_fuser_bi", (512, 512, 1024),
+                                   ("relu",) * 3, (True,) * 3, self.dtype)
+        self.regressor_rot = _head("regressor_rot", (512, 128, 9),
+                                   ("relu", "relu", "none"), (False,) * 3, self.dtype)
+        self.regressor_trans = _head("regressor_trans", (512, 128, 3),
+                                     ("relu", "relu", "none"), (False,) * 3, self.dtype)
+
+    # ------------------------------------------------------------------
+    # Branch encoders
+    # ------------------------------------------------------------------
+    def _encode(self, backbone, point_feats, feats, voxel_idx, train):
         grid_shape = tuple(int(d) for d in self.voxel_num_limit)
+        grid, count = voxelize_dense(
+            feats, voxel_idx, grid_shape, mode=self.voxelization_mode
+        )
+        mask = (count > 0).astype(feats.dtype)
+        pyramid = backbone(grid, mask, train)
+        points = feats[..., 4:7]
+        return points, point_feats(points, pyramid)
 
-        def branch(name: str, feats: jnp.ndarray, voxel_idx: jnp.ndarray):
-            # Scatter-mean voxelization inside the graph
-            # (reference models/DCL_Net.py:174-180 + pointgroup voxelize.cu).
-            grid, count = voxelize_dense(
-                feats, voxel_idx, grid_shape, mode=self.voxelization_mode
-            )
-            mask = (count > 0).astype(feats.dtype)
-            pyramid = SparseBackbone(
-                kernel_size=self.kernel_size, dtype=self.dtype,
-                name=f"backbone_{name}",
-            )(grid, mask, train)
-            points = feats[..., 4:7]
-            point_feats = MultiScalePointFeatures(
-                unit_voxel_extent=tuple(self.unit_voxel_extent),
-                voxel_num_limit=tuple(grid_shape),
-                scale_list=tuple(self.scale_list),
-                capacities=tuple(self.capacities),
-                name=f"point_feats_{name}",
-            )(points, pyramid)
-            return points, point_feats
+    def encode_observed(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Observed branch: backbone + interp + the four Xc disengage heads."""
+        points, f_xc = self._encode(
+            self.backbone_inp, self.point_feats_inp,
+            batch["inp"]["feats"], batch["inp"]["voxel_idx"], train,
+        )
+        return {
+            "points": points,
+            "p1": self.disengage_Xc_p1(f_xc, train),
+            "m1": self.disengage_Xc_m1(f_xc, train),
+            "p2": self.disengage_Xc_p2(f_xc, train),
+            "m2": self.disengage_Xc_m2(f_xc, train),
+        }
 
-        feats_inp = batch["inp"]["feats"]
-        feats_tmp = batch["tmp"]["feats"]
-        points_inp, f_xc = branch("inp", feats_inp, batch["inp"]["voxel_idx"])
-        points_tmp, f_yo = branch("tmp", feats_tmp, batch["tmp"]["voxel_idx"])
+    def encode_template(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, jnp.ndarray]:
+        """Template branch: backbone + interp + the four Yo disengage heads.
 
-        # Bidirectional FDA: disengage into positional (256) and matching (64)
-        # embeddings per branch per direction (reference DCL_Net.py:69-101,188-200).
-        f_xc_p1 = _disengager("disengage_Xc_p1", 256, self.dtype)(f_xc, train)
-        f_xc_m1 = _disengager("disengage_Xc_m1", 64, self.dtype)(f_xc, train)
-        f_xc_p2 = _disengager("disengage_Xc_p2", 256, self.dtype)(f_xc, train)
-        f_xc_m2 = _disengager("disengage_Xc_m2", 64, self.dtype)(f_xc, train)
-        f_yo_p1 = _disengager("disengage_Yo_p1", 256, self.dtype)(f_yo, train)
-        f_yo_m1 = _disengager("disengage_Yo_m1", 64, self.dtype)(f_yo, train)
-        f_yo_p2 = _disengager("disengage_Yo_p2", 256, self.dtype)(f_yo, train)
-        f_yo_m2 = _disengager("disengage_Yo_m2", 64, self.dtype)(f_yo, train)
+        Depends only on the CAD cloud -> cacheable per class at eval."""
+        points, f_yo = self._encode(
+            self.backbone_tmp, self.point_feats_tmp,
+            batch["tmp"]["feats"], batch["tmp"]["voxel_idx"], train,
+        )
+        return {
+            "points": points,
+            "p1": self.disengage_Yo_p1(f_yo, train),
+            "m1": self.disengage_Yo_m1(f_yo, train),
+            "p2": self.disengage_Yo_p2(f_yo, train),
+            "m2": self.disengage_Yo_m2(f_yo, train),
+        }
 
+    # ------------------------------------------------------------------
+    # Fusion: FDA attention + confidence + pose heads
+    # ------------------------------------------------------------------
+    def fuse(self, obs: Dict[str, jnp.ndarray], tmp: Dict[str, jnp.ndarray],
+             train: bool = False) -> Dict[str, jnp.ndarray]:
         # Forward direction: template -> observed (reference DCL_Net.py:206-207)
-        f_xo_p, att = aligner(f_xc_m1, f_yo_m1, f_yo_p1)      # [B, N, 256]
-        xo_pred = _head("regressor_Xo", (256, 128, 3),
-                        ("relu", "relu", "none"), (False,) * 3, self.dtype)(f_xo_p, train)
+        f_xo_p, att = aligner(obs["m1"], tmp["m1"], tmp["p1"])   # [B, N, 256]
+        xo_pred = self.regressor_Xo(f_xo_p, train)
         # Backward direction: observed -> template (reference DCL_Net.py:209-210)
-        f_yc_p, att_bi = aligner(f_yo_m2, f_xc_m2, f_xc_p2)   # [B, M, 256]
-        yc_pred = _head("regressor_Yc", (256, 128, 3),
-                        ("relu", "relu", "none"), (False,) * 3, self.dtype)(f_yc_p, train)
+        f_yc_p, att_bi = aligner(tmp["m2"], obs["m2"], obs["p2"])  # [B, M, 256]
+        yc_pred = self.regressor_Yc(f_yc_p, train)
 
         # Confidence (reference DCL_Net.py:213-221)
-        f_xo_m = jnp.einsum("bmc,bmn->bnc", f_yo_m1, att)      # [B, N, 64]
-        f_m1 = jnp.concatenate([f_xc_m1, f_xo_m], axis=-1)     # [B, N, 128]
-        f_yc_m = jnp.einsum("bnc,bnm->bmc", f_xc_m2, att_bi)   # [B, M, 64]
-        f_m2 = jnp.concatenate([f_yc_m, f_yo_m2], axis=-1)     # [B, M, 128]
-        conf_1 = _head("regressor_conf", (128, 128, 1),
-                       ("relu", "relu", "none"), (False,) * 3, self.dtype)(f_m1, train)
-        conf_2 = _head("regressor_conf_bi", (128, 128, 1),
-                       ("relu", "relu", "none"), (False,) * 3, self.dtype)(f_m2, train)
-        conf = jax.nn.sigmoid(jnp.concatenate([conf_1, conf_2], axis=1))  # [B, N+M, 1]
+        f_xo_m = jnp.einsum("bmc,bmn->bnc", tmp["m1"], att)       # [B, N, 64]
+        f_m1 = jnp.concatenate([obs["m1"], f_xo_m], axis=-1)      # [B, N, 128]
+        f_yc_m = jnp.einsum("bnc,bnm->bmc", obs["m2"], att_bi)    # [B, M, 64]
+        f_m2 = jnp.concatenate([f_yc_m, tmp["m2"]], axis=-1)      # [B, M, 128]
+        conf_1 = self.regressor_conf(f_m1, train)
+        conf_2 = self.regressor_conf_bi(f_m2, train)
+        conf = jax.nn.sigmoid(jnp.concatenate([conf_1, conf_2], axis=1))
         conf_softmax = jax.nn.softmax(conf, axis=1)
 
         # Fused global feature + pose heads (reference DCL_Net.py:223-235)
-        f_p1 = jnp.concatenate([f_xc_p1, f_xo_p], axis=-1)     # [B, N, 512]
-        f_p2 = jnp.concatenate([f_yc_p, f_yo_p2], axis=-1)     # [B, M, 512]
-        f_p1 = _head("neck_fuser", (512, 512, 1024),
-                     ("relu",) * 3, (True,) * 3, self.dtype)(f_p1, train)
-        f_p2 = _head("neck_fuser_bi", (512, 512, 1024),
-                     ("relu",) * 3, (True,) * 3, self.dtype)(f_p2, train)
-        f_p = jnp.concatenate([f_p1, f_p2], axis=1)            # [B, N+M, 1024]
-        f_p_wei = jnp.sum(f_p * conf_softmax, axis=1)          # [B, 1024]
+        f_p1 = jnp.concatenate([obs["p1"], f_xo_p], axis=-1)      # [B, N, 512]
+        f_p2 = jnp.concatenate([f_yc_p, tmp["p2"]], axis=-1)      # [B, M, 512]
+        f_p1 = self.neck_fuser(f_p1, train)
+        f_p2 = self.neck_fuser_bi(f_p2, train)
+        f_p = jnp.concatenate([f_p1, f_p2], axis=1)               # [B, N+M, 1024]
+        f_p_wei = jnp.sum(f_p * conf_softmax, axis=1)             # [B, 1024]
 
-        ortho9d = _head("regressor_rot", (512, 128, 9),
-                        ("relu", "relu", "none"), (False,) * 3, self.dtype)(
-            f_p_wei[:, None, :], train
-        )[:, 0, :]
+        ortho9d = self.regressor_rot(f_p_wei[:, None, :], train)[:, 0, :]
         rot_pred = ortho9d_to_matrix(
             ortho9d[:, :3], ortho9d[:, 3:6], ortho9d[:, 6:]
         )
-        trans_pred = _head("regressor_trans", (512, 128, 3),
-                           ("relu", "relu", "none"), (False,) * 3, self.dtype)(
-            f_p_wei[:, None, :], train
-        )[:, 0, :]
+        trans_pred = self.regressor_trans(f_p_wei[:, None, :], train)[:, 0, :]
 
         return {
             "trans_pred": trans_pred,            # [B, 3]
@@ -176,9 +222,14 @@ class DCLNet(nn.Module):
             "F_Xo_p": f_xo_p,                    # [B, N, 256]
             "Xo_pred": xo_pred,                  # [B, N, 3]
             "Yc_pred": yc_pred,                  # [B, M, 3]
-            "points_inp": points_inp,            # [B, N, 3]
-            "points_tmp": points_tmp,            # [B, M, 3]
+            "points_inp": obs["points"],         # [B, N, 3]
+            "points_tmp": tmp["points"],         # [B, M, 3]
         }
+
+    def __call__(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, jnp.ndarray]:
+        obs = self.encode_observed(batch, train)
+        tmp = self.encode_template(batch, train)
+        return self.fuse(obs, tmp, train)
 
 
 def dcl_losses(pred: Dict[str, jnp.ndarray], batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:

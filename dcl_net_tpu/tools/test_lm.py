@@ -46,7 +46,8 @@ def main(argv=None):
     evaluator = Evaluator(
         model, variables, model_points,
         sym_class_ids=LM_SYM_IDX, protocol="add_0.1d",
-        diameters=dataset.diameters(), logger=logger,
+        diameters=dataset.diameters(), template_bank=dataset.template_bank(),
+        logger=logger,
     )
     loader = BatchLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16)),

@@ -54,7 +54,8 @@ def main(argv=None):
         diameters=dataset.diameters(
             os.path.join(lm_models, "models_info.yml")
         ),
-        count_lost=True, logger=logger,
+        count_lost=True, template_bank=dataset.template_bank(),
+        logger=logger,
     )
     loader = BatchLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16)),

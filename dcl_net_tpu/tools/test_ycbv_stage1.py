@@ -39,7 +39,8 @@ def main(argv=None):
 
     evaluator = Evaluator(
         model, variables, dataset.model_points_array(),
-        protocol="adds_auc", logger=logger,
+        protocol="adds_auc", template_bank=dataset.template_bank(),
+        logger=logger,
     )
     loader = EvalFrameLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16))

@@ -53,7 +53,8 @@ def main(argv=None):
     evaluator = Stage2Evaluator(
         model, main_vars, refiner, refiner_vars,
         dataset.model_points_array(), iterations=args.iteration,
-        protocol="adds_auc", logger=logger,
+        protocol="adds_auc", template_bank=dataset.template_bank(),
+        logger=logger,
     )
     loader = EvalFrameLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16))

@@ -192,3 +192,22 @@ def test_refiner_shapes_and_loss():
     np.testing.assert_allclose(
         r @ r.swapaxes(-1, -2), np.broadcast_to(np.eye(3), r.shape), atol=1e-4
     )
+
+
+def test_template_cache_equivalence():
+    """encode_observed + cached encode_template + fuse must equal __call__."""
+    rng = np.random.RandomState(7)
+    batch = _make_batch(rng, b=2)
+    model = _model()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+
+    full = model.apply(variables, batch, train=False)
+    obs = model.apply(variables, batch, train=False,
+                      method=model.encode_observed)
+    tmp = model.apply(variables, batch, train=False,
+                      method=model.encode_template)
+    fused = model.apply(variables, obs, tmp, train=False, method=model.fuse)
+    for k in ("trans_pred", "rot_pred", "conf", "Xo_pred"):
+        np.testing.assert_allclose(
+            np.asarray(full[k]), np.asarray(fused[k]), atol=1e-6
+        )
