@@ -112,6 +112,11 @@ class MultiScalePointFeatures(nn.Module):
                 cap = min(int(self.capacities[level]), grid_n)
                 coords, vfeats, vmask = dense_to_sparse(feats, mask, cap)
                 centers = voxel_centers(coords, unit, scale, offset)
-                interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
+                if self.interp_mode == "pallas" and points.shape[1] % 128 == 0:
+                    from dcl_net_tpu.ops.pallas_interp import pallas_nn_interpolate
+
+                    interp = pallas_nn_interpolate(points, centers, vfeats, vmask)
+                else:
+                    interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
             feats_all.append(interp)
         return jnp.concatenate(feats_all, axis=-1)

@@ -294,3 +294,23 @@ def test_local_grid_interpolate_matches_exact(rng):
         err = np.abs(local - exact).max(axis=-1)
         agree = (err < 1e-4).mean()
         assert agree > 0.97, f"scale {scale}: agreement {agree}"
+
+
+def test_pallas_interp_matches_xla(rng):
+    """Pallas fused 3-NN kernel (interpret mode on CPU) vs the XLA path."""
+    from dcl_net_tpu.ops.pallas_interp import pallas_nn_interpolate
+
+    B, N, V, C = 2, 128, 256, 8
+    pts = jnp.asarray((rng.rand(B, N, 3).astype(np.float32) - 0.5) * 0.3)
+    ctr = jnp.asarray((rng.rand(B, V, 3).astype(np.float32) - 0.5) * 0.3)
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    mask = jnp.asarray((rng.rand(B, V) > 0.3).astype(np.float32))
+
+    ref = nearest_neighbor_interpolate(pts, ctr, feats, mask)
+    out = pallas_nn_interpolate(pts, ctr, feats, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    g = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    gp = jax.grad(lambda f: jnp.sum(pallas_nn_interpolate(pts, ctr, f, mask) * g))(feats)
+    gx = jax.grad(lambda f: jnp.sum(nearest_neighbor_interpolate(pts, ctr, f, mask) * g))(feats)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
