@@ -158,3 +158,26 @@ def random_rotation(key: jax.Array, shape: tuple = ()) -> jnp.ndarray:
     """Uniform random rotations via normalized Gaussian quaternions."""
     q = jax.random.normal(key, shape + (4,))
     return quaternion_to_matrix(q)
+
+
+def quaternion_multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product (w, x, y, z) so that R(q1 q2) = R(q1) R(q2)
+    (ref utils/rotation.py quaternion composition helpers)."""
+    w1, x1, y1, z1 = (q1[..., i] for i in range(4))
+    w2, x2, y2, z2 = (q2[..., i] for i in range(4))
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def quaternion_conjugate(q: jnp.ndarray) -> jnp.ndarray:
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], q.dtype)
+
+
+def translate_rotate(points: jnp.ndarray, trans: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Translate then rotate: (p + t) @ R^T (ref utils/transform3D.py:120-152
+    translate_rotate helper)."""
+    return jnp.einsum("...nj,...kj->...nk", points + trans[..., None, :], rot)

@@ -189,3 +189,104 @@ def sec_max(feats: jnp.ndarray, offsets: jnp.ndarray, n_segments: int) -> jnp.nd
     n = feats.shape[0]
     seg_ids = jnp.searchsorted(offsets[1:], jnp.arange(n), side="right")
     return jax.ops.segment_max(feats, seg_ids, num_segments=n_segments)
+
+
+# ---------------------------------------------------------------------------
+# PointGroup leftovers (reference pointgroup_ops.py:115-253 — shipped by the
+# reference though unused by DCL-Net; provided for surface parity)
+# ---------------------------------------------------------------------------
+def ballquery_batch_p(
+    xyz: np.ndarray, batch_offsets: np.ndarray, radius: float, mean_active: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat-batch ball query (reference ballquery_batch_p,
+    pointgroup_ops.py:115-150): for each point, the indices of all points of
+    the SAME batch within `radius`, CSR-style (start_len [N,2], idx [total]).
+
+    Host-side numpy (the reference runs it on GPU with a retry-on-capacity
+    loop; here the output is exact with no capacity cap).
+    """
+    n = xyz.shape[0]
+    start_len = np.zeros((n, 2), np.int32)
+    idx_chunks = []
+    total = 0
+    for b in range(len(batch_offsets) - 1):
+        s, e = int(batch_offsets[b]), int(batch_offsets[b + 1])
+        pts = xyz[s:e]
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        within = d2 <= radius * radius
+        for i in range(e - s):
+            nbrs = np.where(within[i])[0] + s
+            start_len[s + i] = (total, len(nbrs))
+            idx_chunks.append(nbrs)
+            total += len(nbrs)
+    idx = np.concatenate(idx_chunks) if idx_chunks else np.zeros(0, np.int32)
+    return idx.astype(np.int32), start_len
+
+
+def bfs_cluster(
+    ball_idx: np.ndarray, start_len: np.ndarray, threshold: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Connected-component clustering over ball-query neighborhoods
+    (reference bfs_cluster, pointgroup_ops.py:153-182): breadth-first walk
+    over the neighbor graph; clusters smaller than `threshold` are dropped.
+
+    Returns (cluster_idx [M, 2] rows of (cluster_id, point_id),
+    cluster_offsets [n_clusters+1]).
+    """
+    n = start_len.shape[0]
+    visited = np.zeros(n, bool)
+    clusters = []
+    for seed in range(n):
+        if visited[seed]:
+            continue
+        queue = [seed]
+        visited[seed] = True
+        members = []
+        while queue:
+            p = queue.pop()
+            members.append(p)
+            s, l = start_len[p]
+            for q in ball_idx[s : s + l]:
+                if not visited[q]:
+                    visited[q] = True
+                    queue.append(int(q))
+        if len(members) >= threshold:
+            clusters.append(sorted(members))
+    rows = []
+    offsets = [0]
+    for cid, members in enumerate(clusters):
+        rows.extend((cid, p) for p in members)
+        offsets.append(offsets[-1] + len(members))
+    cluster_idx = np.asarray(rows, np.int32).reshape(-1, 2)
+    return cluster_idx, np.asarray(offsets, np.int32)
+
+
+def roipool(feats: jnp.ndarray, proposal_offsets: jnp.ndarray) -> jnp.ndarray:
+    """Max-pool features per proposal segment (reference roipool,
+    pointgroup_ops.py:185-221). feats [N, C] ordered by proposal,
+    proposal_offsets [P+1] -> [P, C]."""
+    n = feats.shape[0]
+    p = proposal_offsets.shape[0] - 1
+    seg_ids = jnp.searchsorted(proposal_offsets[1:], jnp.arange(n), side="right")
+    return jax.ops.segment_max(feats, seg_ids, num_segments=p)
+
+
+def get_iou(
+    proposal_idx: np.ndarray, proposal_offsets: np.ndarray,
+    instance_labels: np.ndarray, instance_pointnum: np.ndarray,
+) -> np.ndarray:
+    """IoU between proposals and gt instances (reference get_iou,
+    pointgroup_ops.py:224-253). proposal_idx [M,2] (pid, point), labels [N]
+    (instance id or -100), instance_pointnum [I]. Returns [P, I]."""
+    p = proposal_offsets.shape[0] - 1
+    n_inst = len(instance_pointnum)
+    ious = np.zeros((p, n_inst), np.float32)
+    for pid in range(p):
+        pts = proposal_idx[proposal_offsets[pid]:proposal_offsets[pid + 1], 1]
+        labels = instance_labels[pts]
+        size_p = len(pts)
+        for inst in range(n_inst):
+            inter = int((labels == inst).sum())
+            union = size_p + int(instance_pointnum[inst]) - inter
+            ious[pid, inst] = inter / union if union > 0 else 0.0
+    return ious

@@ -216,7 +216,10 @@ class Solver:
         self.checkpoint_dir = checkpoint_dir
         steps_per_epoch = len(loader)
         self.tx, self.schedule = build_optimizer(cfg, steps_per_epoch)
-        self.train_step = jax.jit(make_train_step(model, self.tx, loss_fn))
+        # donate the state: params/opt-state update in place on device
+        self.train_step = jax.jit(
+            make_train_step(model, self.tx, loss_fn), donate_argnums=(0,)
+        )
         self.state: Optional[TrainState] = None
         self.epoch = 0
 

@@ -135,3 +135,65 @@ def test_sec_reductions(rng):
     np.testing.assert_allclose(mn[1], np.asarray(feats)[3:7].min(0), atol=1e-6)
     mx = np.asarray(sec_max(feats, offsets, 3))
     np.testing.assert_allclose(mx[1], np.asarray(feats)[3:7].max(0), atol=1e-6)
+
+
+def test_pointgroup_leftovers(rng):
+    from dcl_net_tpu.ops.extras import (
+        ballquery_batch_p, bfs_cluster, roipool, get_iou,
+    )
+    import jax.numpy as jnp
+
+    # two separated clusters in one batch + one in a second batch
+    xyz = np.concatenate([
+        rng.randn(10, 3) * 0.01,
+        rng.randn(10, 3) * 0.01 + 5.0,
+        rng.randn(5, 3) * 0.01,
+    ]).astype(np.float32)
+    offsets = np.array([0, 20, 25])
+    idx, start_len = ballquery_batch_p(xyz, offsets, radius=0.5, mean_active=20)
+    # batch separation: no neighbor crosses the batch boundary
+    for i in range(20):
+        s, l = start_len[i]
+        assert (idx[s:s+l] < 20).all()
+    for i in range(20, 25):
+        s, l = start_len[i]
+        assert (idx[s:s+l] >= 20).all()
+
+    cluster_idx, cluster_off = bfs_cluster(idx, start_len, threshold=3)
+    n_clusters = len(cluster_off) - 1
+    assert n_clusters == 3  # two in batch 0, one in batch 1
+    sizes = np.diff(cluster_off)
+    assert sorted(sizes.tolist()) == [5, 10, 10]
+
+    feats = jnp.asarray(rng.randn(25, 4).astype(np.float32))
+    pooled = np.asarray(roipool(feats, jnp.asarray([0, 20, 25])))
+    np.testing.assert_allclose(pooled[0], np.asarray(feats)[:20].max(0), atol=1e-6)
+
+    inst_labels = np.array([0] * 10 + [1] * 10 + [0] * 5)
+    prop_idx = np.stack([np.zeros(20, np.int64), np.arange(20)], 1)
+    ious = get_iou(prop_idx, np.array([0, 20]), inst_labels, np.array([15, 10]))
+    # proposal covers inst0: inter 10, union 15+20-10=25
+    np.testing.assert_allclose(ious[0, 0], 10 / 25, atol=1e-6)
+
+
+def test_quaternion_compose_and_translate_rotate(rng):
+    import jax.numpy as jnp
+    from dcl_net_tpu.geometry.rotation import (
+        quaternion_multiply, quaternion_to_matrix, translate_rotate,
+    )
+
+    q1 = rng.randn(4, 4).astype(np.float32)
+    q2 = rng.randn(4, 4).astype(np.float32)
+    r12 = np.asarray(quaternion_to_matrix(jnp.asarray(
+        np.asarray(quaternion_multiply(jnp.asarray(q1), jnp.asarray(q2)))
+    )))
+    r1r2 = np.asarray(quaternion_to_matrix(jnp.asarray(q1))) @ \
+        np.asarray(quaternion_to_matrix(jnp.asarray(q2)))
+    np.testing.assert_allclose(r12, r1r2, atol=1e-5)
+
+    pts = jnp.asarray(rng.randn(2, 10, 3).astype(np.float32))
+    t = jnp.asarray(rng.randn(2, 3).astype(np.float32))
+    r = quaternion_to_matrix(jnp.asarray(q1[:2]))
+    out = np.asarray(translate_rotate(pts, t, r))
+    expect = np.einsum("bnj,bkj->bnk", np.asarray(pts) + np.asarray(t)[:, None], np.asarray(r))
+    np.testing.assert_allclose(out, expect, atol=1e-5)
