@@ -6,8 +6,7 @@ libs/pointnet_sp/src/interpolate_gpu.cu:9-146). Replaces the XLA composition
   dist matrix [B, N, V] in HBM -> 3x argmin passes -> row gather
 with one kernel per (batch, query-tile) that keeps everything in VMEM:
 
-  - squared distances for a 128-query tile against all V refs (cross term on
-    the MXU),
+  - squared distances for a 128-query tile against all V refs,
   - masked iterated argmin for the exact top-3 (ties -> lowest index,
     matching the CUDA scan order),
   - neighbor-feature extraction as one-hot matmuls on the MXU (no gathers —
@@ -17,11 +16,14 @@ with one kernel per (batch, query-tile) that keeps everything in VMEM:
 Differentiable w.r.t. ref features via custom_vjp (the backward scatter is
 the transposed one-hot matmul, also Pallas). Gradients w.r.t. coordinates are
 not needed by DCL-Net (interpolation coordinates are data, not activations).
+
+Layout note: coordinates are carried as [B, 3, N] / [B, 3, V] and the saved
+weights/indices as [B, 3, N] — every in-kernel array is 2-D with a wide
+trailing dim. Arrays with a size-3 trailing dim ([N, 3] blocks, K=3 matmuls)
+stall this backend's Mosaic compiler indefinitely.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -36,18 +38,19 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-
 def _fwd_kernel(pts_ref, ctr_ref, feats_ref, mask_ref, out_ref, w_ref, idx_ref):
-    # block shapes: pts [1,T,3], ctr [1,V,3], feats [1,V,C], mask [1,V,1]
-    pts = pts_ref[0]                                   # [T, 3]
-    ctr = ctr_ref[0]                                   # [V, 3]
-    valid = mask_ref[0][:, 0] > 0                      # [V]
+    # blocks: pts [1,3,T], ctr [1,3,V], feats [1,V,C], mask [1,1,V]
+    pts = pts_ref[0]                                   # [3, T]
+    ctr = ctr_ref[0]                                   # [3, V]
+    valid = mask_ref[0]                                # [1, V]
 
-    p2 = jnp.sum(pts * pts, axis=1, keepdims=True)     # [T, 1]
-    c2 = jnp.sum(ctr * ctr, axis=1)[None, :]           # [1, V]
-    cross = jnp.dot(pts, ctr.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(p2 - 2.0 * cross + c2, 0.0)       # [T, V]
-    d2 = jnp.where(valid[None, :], d2, _BIG)
+    t = pts.shape[1]
+    v = ctr.shape[1]
+    d2 = jnp.zeros((t, v), jnp.float32)
+    for a in range(3):
+        diff = pts[a:a + 1, :].T - ctr[a:a + 1, :]     # [T, 1] - [1, V]
+        d2 = d2 + diff * diff
+    d2 = jnp.where(valid > 0, d2, _BIG)                # [T, V]
 
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     dists, idxs = [], []
@@ -58,33 +61,33 @@ def _fwd_kernel(pts_ref, ctr_ref, feats_ref, mask_ref, out_ref, w_ref, idx_ref):
         idxs.append(i)
         cur = jnp.where(col == i[:, None], _BIG, cur)
 
-    d3 = jnp.stack(dists, axis=1)                      # [T, 3]
+    d3 = jnp.stack(dists, axis=0)                      # [3, T]
     recip = 1.0 / (d3 + 1e-8)
-    weight = recip / jnp.sum(recip, axis=1, keepdims=True)
+    weight = recip / jnp.sum(recip, axis=0, keepdims=True)
 
     feats = feats_ref[0]                               # [V, C]
     out = jnp.zeros(out_ref.shape[1:], jnp.float32)    # [T, C]
     for k in range(3):
         onehot = (col == idxs[k][:, None]).astype(jnp.float32)  # [T, V]
         fk = jnp.dot(onehot, feats, preferred_element_type=jnp.float32)
-        out = out + fk * weight[:, k:k + 1]
+        out = out + fk * weight[k, :][:, None]
     out_ref[0] = out
-    w_ref[0] = weight
-    idx_ref[0] = jnp.stack(idxs, axis=1)
+    w_ref[0] = weight                                  # [3, T]
+    idx_ref[0] = jnp.stack(idxs, axis=0)               # [3, T]
 
 
 def _bwd_kernel(g_ref, w_ref, idx_ref, dfeats_ref):
-    # dfeats[v] = sum_t sum_k 1[idx[t,k]==v] * w[t,k] * g[t]
+    # dfeats[v] = sum_t sum_k 1[idx[k,t]==v] * w[k,t] * g[t]
     g = g_ref[0]                                       # [T, C]
-    w = w_ref[0]                                       # [T, 3]
-    idx = idx_ref[0]                                   # [T, 3]
+    w = w_ref[0]                                       # [3, T]
+    idx = idx_ref[0]                                   # [3, T]
     v = dfeats_ref.shape[1]
     colv = jax.lax.broadcasted_iota(jnp.int32, (g.shape[0], v), 1)
     acc = jnp.zeros(dfeats_ref.shape[1:], jnp.float32)
     for k in range(3):
-        onehot = (colv == idx[:, k][:, None]).astype(jnp.float32)  # [T, V]
+        onehot = (colv == idx[k, :][:, None]).astype(jnp.float32)  # [T, V]
         acc = acc + jnp.dot(
-            onehot.T, g * w[:, k:k + 1], preferred_element_type=jnp.float32
+            onehot.T, g * w[k, :][:, None], preferred_element_type=jnp.float32
         )
     ti = pl.program_id(1)
 
@@ -100,27 +103,29 @@ def _run_fwd(points, centers, feats, mask):
     v, c = feats.shape[1], feats.shape[2]
     tiles = n // _QUERY_TILE
     assert n % _QUERY_TILE == 0, f"N={n} must be a multiple of {_QUERY_TILE}"
+    pts_t = jnp.swapaxes(points, 1, 2)                 # [B, 3, N]
+    ctr_t = jnp.swapaxes(centers, 1, 2)                # [B, 3, V]
     out, w, idx = pl.pallas_call(
         _fwd_kernel,
         grid=(b, tiles),
         in_specs=[
-            pl.BlockSpec((1, _QUERY_TILE, 3), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, v, 3), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, 3, _QUERY_TILE), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, 3, v), lambda bi, ti: (bi, 0, 0)),
             pl.BlockSpec((1, v, c), lambda bi, ti: (bi, 0, 0)),
-            pl.BlockSpec((1, v, 1), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, v), lambda bi, ti: (bi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, _QUERY_TILE, c), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, _QUERY_TILE, 3), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, _QUERY_TILE, 3), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, 3, _QUERY_TILE), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, 3, _QUERY_TILE), lambda bi, ti: (bi, 0, ti)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, 3), jnp.int32),
+            jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, n), jnp.int32),
         ],
         interpret=_interpret(),
-    )(points, centers, feats, mask[..., None])
+    )(pts_t, ctr_t, feats, mask[:, None, :])
     return out, w, idx
 
 
@@ -139,15 +144,15 @@ def _vjp_fwd(points, centers, feats, mask):
 def _vjp_bwd(res, g):
     w, idx, feats_shape = res
     b, v, c = feats_shape
-    n = w.shape[1]
+    n = w.shape[2]
     tiles = n // _QUERY_TILE
     dfeats = pl.pallas_call(
         _bwd_kernel,
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec((1, _QUERY_TILE, c), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, _QUERY_TILE, 3), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, _QUERY_TILE, 3), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, 3, _QUERY_TILE), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, 3, _QUERY_TILE), lambda bi, ti: (bi, 0, ti)),
         ],
         out_specs=pl.BlockSpec((1, v, c), lambda bi, ti: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, v, c), jnp.float32),

@@ -122,3 +122,26 @@ def test_chamfer_matches_reference_cd(rng):
 
     l2 = np.asarray(l2_distance(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(l2, np.linalg.norm(a - b, axis=-1), atol=1e-5)
+
+
+def test_ortho9d_grad_near_degenerate(rng):
+    """SVD gradients must stay finite for nearly-collinear raw vectors
+    (SURVEY §7 hard part: torch.svd grad stability near-degenerate sigma)."""
+    x = np.array([[1.0, 0.0, 0.0]], np.float32)
+    y = np.array([[1.0, 1e-4, 0.0]], np.float32)   # nearly collinear with x
+    z = np.array([[1.0, 0.0, 1e-4]], np.float32)
+
+    def loss(v):
+        x_, y_, z_ = v[:, :3], v[:, 3:6], v[:, 6:]
+        r = ortho9d_to_matrix(x_, y_, z_)
+        return jnp.sum(r * jnp.asarray([[1.0, 0.5, -0.3]]))
+
+    import jax
+
+    v = jnp.asarray(np.concatenate([x, y, z], axis=1))
+    g = jax.grad(loss)(v)
+    assert np.isfinite(np.asarray(g)).all()
+    # exactly-degenerate (repeated vector) must not NaN either
+    v2 = jnp.asarray(np.concatenate([x, x, z], axis=1))
+    g2 = jax.grad(loss)(v2)
+    assert np.isfinite(np.asarray(g2)).all()
