@@ -221,7 +221,6 @@ class Stage2Evaluator(Evaluator):
             )
             return {"adds": adds, "add": add, "rot_pred": rot, "trans_pred": trans}
 
-        iterations = self.iterations
         self._run = lambda variables, batch: run(
             variables, self.refiner_variables, batch
         )

@@ -6,7 +6,7 @@ libs/pointnet_sp/src/interpolate_gpu.cu:9-146). Replaces the XLA composition
   dist matrix [B, N, V] in HBM -> 3x argmin passes -> row gather
 with one kernel per (batch, query-tile) that keeps everything in VMEM:
 
-  - squared distances for a 128-query tile against all V refs,
+  - squared distances for a query tile against all V refs,
   - masked iterated argmin for the exact top-3 (ties -> lowest index,
     matching the CUDA scan order),
   - neighbor-feature extraction as one-hot matmuls on the MXU (no gathers —
@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _QUERY_TILE = 128
 _BIG = 1e10
@@ -125,6 +126,9 @@ def _run_fwd(points, centers, feats, mask):
             jax.ShapeDtypeStruct((b, 3, n), jnp.int32),
         ],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(pts_t, ctr_t, feats, mask[:, None, :])
     return out, w, idx
 
@@ -157,6 +161,9 @@ def _vjp_bwd(res, g):
         out_specs=pl.BlockSpec((1, v, c), lambda bi, ti: (bi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, v, c), jnp.float32),
         interpret=_interpret(),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(g, w, idx)
     return None, None, dfeats, None
 

@@ -62,11 +62,11 @@ def autoclip(percentile: float = 50.0, history_len: int = 1024) -> optax.Gradien
         history = state.history.at[state.count % history_len].set(norm)
         count = state.count + 1
         n_valid = jnp.minimum(count, history_len)
-        # percentile over the valid prefix: mask invalid slots to +inf and
-        # take the k-th smallest (linear interpolation like np.percentile).
+        # percentile over the valid slots: sort with empty slots pushed to
+        # +inf, then take the k-th smallest with linear interpolation like
+        # np.percentile.
         idx = jnp.arange(history_len)
-        big = jnp.full((history_len,), jnp.inf, jnp.float32)
-        valid_hist = jnp.where(idx < n_valid, jnp.sort(jnp.where(idx < n_valid, history, jnp.inf)), big)
+        valid_hist = jnp.sort(jnp.where(idx < n_valid, history, jnp.inf))
         q = percentile / 100.0 * (n_valid.astype(jnp.float32) - 1.0)
         lo = jnp.floor(q).astype(jnp.int32)
         hi = jnp.minimum(lo + 1, n_valid - 1)

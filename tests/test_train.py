@@ -1,0 +1,92 @@
+"""Solver-layer tests: AutoClip, LR schedules, checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from dcl_net_tpu.config import Config
+from dcl_net_tpu.train.solver import (
+    autoclip,
+    build_lr_schedule,
+    build_optimizer,
+    cyclic_lr,
+    step_lr,
+)
+
+
+def test_autoclip_matches_reference_semantics(rng):
+    """Reference AutoClip (tools/train_YCBV_stage1.py:212-231): clip the
+    current grad to the percentile of ALL norms seen (incl. current)."""
+    clip = autoclip(percentile=50.0, history_len=64)
+    params = {"w": jnp.zeros(3)}
+    state = clip.init(params)
+
+    norms_seen = []
+    for i in range(20):
+        g = rng.randn(3).astype(np.float32) * (i + 1)  # growing norms
+        updates = {"w": jnp.asarray(g)}
+        norm = float(np.linalg.norm(g))
+        norms_seen.append(norm)
+        clipped, state = clip.update(updates, state)
+        clip_value = np.percentile(norms_seen, 50.0)
+        expect = g * min(1.0, clip_value / norm)
+        np.testing.assert_allclose(np.asarray(clipped["w"]), expect, rtol=1e-5)
+
+
+def test_cyclic_lr_matches_torch():
+    """torch CyclicLR triangular: rises to max at step_size_up, falls back."""
+    sched = cyclic_lr(1e-6, 1e-3, 100, 100)
+    assert abs(float(sched(0)) - 1e-6) < 1e-9
+    assert abs(float(sched(100)) - 1e-3) < 1e-9
+    assert abs(float(sched(200)) - 1e-6) < 1e-9
+    assert abs(float(sched(50)) - (1e-6 + (1e-3 - 1e-6) * 0.5)) < 1e-9
+    # periodic
+    assert abs(float(sched(250)) - float(sched(50))) < 1e-12
+
+
+def test_step_lr():
+    sched = step_lr(1e-3, 10, 0.5)
+    assert abs(float(sched(0)) - 1e-3) < 1e-9
+    assert abs(float(sched(9)) - 1e-3) < 1e-9
+    assert abs(float(sched(10)) - 5e-4) < 1e-9
+    assert abs(float(sched(25)) - 2.5e-4) < 1e-9
+
+
+def test_build_lr_schedule_from_config():
+    cfg_cyc = Config({"optimizer": {"lr": 1e-3},
+                      "lr_scheduler_cyc": {"base_lr": 1e-6, "max_lr": 1e-3,
+                                           "step_size_up": 63105}})
+    s = build_lr_schedule(cfg_cyc, steps_per_epoch=100)
+    assert abs(float(s(63105)) - 1e-3) < 1e-9
+
+    cfg_step = Config({"optimizer": {"lr": 1e-3},
+                       "lr_scheduler": {"type": "StepLR", "step_size": 60,
+                                        "gamma": 0.5}})
+    s2 = build_lr_schedule(cfg_step, steps_per_epoch=10)
+    assert abs(float(s2(600)) - 5e-4) < 1e-9
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dcl_net_tpu.train.checkpoints import (
+        latest_checkpoint, load_checkpoint, save_checkpoint,
+    )
+    from dcl_net_tpu.train.solver import TrainState
+
+    state = TrainState(
+        step=jnp.asarray(42),
+        params={"layer": {"w": jnp.arange(6.0).reshape(2, 3)}},
+        batch_stats={"bn": {"mean": jnp.ones(3)}},
+        opt_state={"momentum": jnp.zeros(3)},
+    )
+    path = save_checkpoint(str(tmp_path), state, epoch=7)
+    assert latest_checkpoint(str(tmp_path)) == path
+    loaded = load_checkpoint(path)
+    assert loaded["epoch"] == 7
+    assert loaded["step"] == 42
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["layer"]["w"]),
+        np.arange(6.0).reshape(2, 3),
+    )
+    save_checkpoint(str(tmp_path), state, epoch=12)
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch_12")
