@@ -44,7 +44,7 @@ def main():
     from dcl_net_tpu.data.schema import make_batch
     from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 64))
+    batch_size = int(os.environ.get("BENCH_BATCH", 128))
     n_points = 1024
     n_classes = 8
     grid, unit = (64, 64, 64), (0.006, 0.006, 0.006)
