@@ -254,17 +254,21 @@ class Solver:
         end = time.time()
         for i, batch in enumerate(self.loader):
             if profile_dir and self.epoch == 0 and i == 2:
-                jax.profiler.start_trace(profile_dir)
+                try:
+                    jax.profiler.start_trace(profile_dir)
+                except Exception:
+                    profile_dir = None  # backend without profiler support
             if profile_dir and self.epoch == 0 and i == 5:
                 jax.profiler.stop_trace()
             t_data = time.time() - end
             if self.state is None:
                 self.initialize(batch)
             state, metrics = self.train_step(self.state, batch)
-            jax.block_until_ready(metrics["loss_all"])
             self.state = state
-            t_step = time.time() - end - t_data
+            # fetching the scalars forces completion (block_until_ready can
+            # return early on detached TPU attach paths), making T_step honest
             info = {k: float(v) for k, v in metrics.items()}
+            t_step = time.time() - end - t_data
             info.update({"T_data": t_data, "T_step": t_step,
                          "lr": float(self.schedule(int(self.state.step) - 1))})
             for k, v in info.items():
