@@ -150,11 +150,16 @@ def build_optimizer(cfg: Config, steps_per_epoch: int = 1) -> Tuple[optax.Gradie
 # ---------------------------------------------------------------------------
 # Train step factory
 # ---------------------------------------------------------------------------
-def make_train_step(model, tx, loss_fn) -> Callable:
+def make_train_step(model, tx, loss_fn, skip_nonfinite: bool = True) -> Callable:
     """Build the jittable train step: forward, loss, grad, clip, update.
 
     loss_fn(pred, batch) -> dict with "loss_all" (reference contract,
     tools/train_YCBV_stage1.py:168-191).
+
+    skip_nonfinite: when the loss or any gradient is NaN/Inf the whole update
+    (params, opt state, batch stats) is skipped and metrics carry
+    skipped_nonfinite=1 — one bad batch cannot poison a long run (a guard
+    the reference lacks; a torch run dies or silently diverges instead).
     """
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -166,17 +171,28 @@ def make_train_step(model, tx, loss_fn) -> Callable:
             losses = loss_fn(pred, batch)
             return losses["loss_all"], (losses, mut["batch_stats"])
 
-        (_, (losses, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(losses)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(metrics["grad_norm"])
+            pick = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            new_params = pick(new_params, state.params)
+            new_opt_state = pick(new_opt_state, state.opt_state)
+            new_stats = pick(new_stats, state.batch_stats)
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
+
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
-        metrics = dict(losses)
-        metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     return train_step
@@ -240,6 +256,18 @@ class Solver:
 
                 save_checkpoint(self.checkpoint_dir, self.state, self.epoch)
 
+    def maybe_save_steps(self, i: int):
+        """Mid-epoch checkpointing every cfg.per_save_steps steps (the
+        reference only saves per epoch; long epochs lose hours on preemption)."""
+        per_save_steps = int(self.cfg.get("per_save_steps", 0))
+        if self.checkpoint_dir and per_save_steps and i and i % per_save_steps == 0:
+            from dcl_net_tpu.train.checkpoints import save_checkpoint
+
+            save_checkpoint(
+                self.checkpoint_dir, self.state, self.epoch,
+                meta={"mid_epoch_step": i},
+            )
+
     def train_epoch(self) -> Dict[str, float]:
         per_write = int(self.cfg.get("per_write", 10))
         # Profiling hook (aux-subsystem parity with the reference's manual
@@ -281,5 +309,6 @@ class Solver:
                 self.logger.info(msg)
                 if self.writer:
                     self.writer.add_scalars("train", avg, int(self.state.step))
+            self.maybe_save_steps(i)
             end = time.time()
         return {k: float(np.mean(v)) for k, v in buffer.items()}

@@ -90,3 +90,42 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     save_checkpoint(str(tmp_path), state, epoch=12)
     assert latest_checkpoint(str(tmp_path)).endswith("epoch_12")
+
+
+def test_nonfinite_gradient_guard(rng):
+    """A NaN-producing batch must leave params/opt-state untouched and set
+    the skipped_nonfinite metric."""
+    from dcl_net_tpu.train.solver import TrainState, make_train_step
+
+    tx = optax.adam(1e-3)
+
+    class TinyModel:
+        def apply(self, variables, batch, train, mutable):
+            p = variables["params"]["w"]
+            pred = {"out": p * batch["x"]}
+            return pred, {"batch_stats": variables["batch_stats"]}
+
+    def loss_fn(pred, batch):
+        return {"loss_all": jnp.sum(pred["out"])}
+
+    params = {"w": jnp.ones(3)}
+    state = TrainState(step=jnp.asarray(0), params=params, batch_stats={},
+                       opt_state=tx.init(params))
+    step = make_train_step(TinyModel(), tx, loss_fn)
+
+    good = {"x": jnp.ones(3)}
+    state1, m1 = step(state, good)
+    assert float(m1["skipped_nonfinite"]) == 0.0
+    assert not np.allclose(np.asarray(state1.params["w"]), 1.0)
+
+    bad = {"x": jnp.asarray([1.0, np.nan, 1.0])}
+    state2, m2 = step(state1, bad)
+    assert float(m2["skipped_nonfinite"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["w"]), np.asarray(state1.params["w"])
+    )
+    assert int(state2.step) == int(state1.step) + 1
+
+    # training continues cleanly after the skipped step
+    state3, m3 = step(state2, good)
+    assert float(m3["skipped_nonfinite"]) == 0.0
