@@ -21,3 +21,5 @@ from dcl_net_tpu.ops.knn import (  # noqa: F401
     grouping_operation,
     gather_operation,
 )
+from dcl_net_tpu.ops.grid_interp import local_grid_interpolate  # noqa: F401
+from dcl_net_tpu.ops.pallas_interp import pallas_nn_interpolate  # noqa: F401
