@@ -223,13 +223,18 @@ class Solver:
     """
 
     def __init__(self, model, loss_fn, cfg: Config, loader, logger=None,
-                 checkpoint_dir: Optional[str] = None, writer=None):
+                 checkpoint_dir: Optional[str] = None, writer=None,
+                 eval_fn: Optional[Callable] = None):
+        """eval_fn(state, epoch) -> dict of scalars; called every
+        cfg.per_val epochs (reference Trainer.evaluate,
+        tools/train_YCBV_stage2.py:205-222)."""
         self.model = model
         self.cfg = cfg
         self.loader = loader
         self.logger = logger
         self.writer = writer
         self.checkpoint_dir = checkpoint_dir
+        self.eval_fn = eval_fn
         steps_per_epoch = len(loader)
         self.tx, self.schedule = build_optimizer(cfg, steps_per_epoch)
         # donate the state: params/opt-state update in place on device
@@ -248,6 +253,7 @@ class Solver:
     def solve(self, max_epoch: Optional[int] = None):
         max_epoch = max_epoch or int(self.cfg.get("max_epoch", 1))
         per_save = int(self.cfg.get("per_save", 1))
+        per_val = int(self.cfg.get("per_val", 1))
         while self.epoch < max_epoch:
             self.train_epoch()
             self.epoch += 1
@@ -255,6 +261,17 @@ class Solver:
                 from dcl_net_tpu.train.checkpoints import save_checkpoint
 
                 save_checkpoint(self.checkpoint_dir, self.state, self.epoch)
+            if self.eval_fn and (self.epoch % per_val == 0):
+                scalars = self.eval_fn(self.state, self.epoch)
+                if scalars:
+                    if self.logger:
+                        self.logger.info(
+                            f"[{self.epoch}] Eval - " + "\t".join(
+                                f"{k}: {v:.5f}" for k, v in scalars.items()
+                            )
+                        )
+                    if self.writer:
+                        self.writer.add_scalars("eval", scalars, self.epoch)
 
     def maybe_save_steps(self, i: int):
         """Mid-epoch checkpointing every cfg.per_save_steps steps (the

@@ -129,3 +129,32 @@ def test_nonfinite_gradient_guard(rng):
     # training continues cleanly after the skipped step
     state3, m3 = step(state2, good)
     assert float(m3["skipped_nonfinite"]) == 0.0
+
+
+def test_solver_eval_hook(tmp_path):
+    """eval_fn runs every per_val epochs and its scalars reach the writer."""
+    from dcl_net_tpu.config import Config as Cfg
+    from dcl_net_tpu.data.loader import BatchLoader
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet, dcl_losses
+    from dcl_net_tpu.train.solver import Solver
+
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=64, unit_voxel_extent=(0.024,) * 3,
+        voxel_num_limit=(16,) * 3, length=8,
+    )
+    loader = BatchLoader(ds, batch_size=4, num_workers=2)
+    model = DCLNet(unit_voxel_extent=(0.024,) * 3, voxel_num_limit=(16,) * 3,
+                   n_inp=64, n_tmp=64, capacities=(256, 64, 16, 8))
+    calls = []
+
+    def eval_fn(state, epoch):
+        calls.append(epoch)
+        return {"dummy_metric": float(epoch)}
+
+    cfg = Cfg({"optimizer": {"type": "Adam", "lr": 1e-3}, "max_epoch": 2,
+               "per_val": 1, "per_write": 1000, "per_save": 1000})
+    solver = Solver(model, dcl_losses, cfg, loader, eval_fn=eval_fn)
+    solver.initialize(next(iter(loader)))
+    solver.solve()
+    assert calls == [1, 2]
