@@ -53,12 +53,23 @@ class Evaluator:
         diameters: Optional[Sequence[float]] = None,
         count_lost: bool = False,
         template_bank: Optional[Dict[str, np.ndarray]] = None,
+        mesh=None,
         logger=None,
     ):
         """template_bank: optional {"feats": [C, M, 7], "voxel_idx": [C, M, 3]}
         per-class CAD template inputs. When given, the template branch is
         encoded ONCE per class and cached — roughly halving per-frame
-        inference (impossible in the reference's monolithic forward)."""
+        inference (impossible in the reference's monolithic forward).
+
+        mesh: optional jax.sharding.Mesh — eval batches are sharded over the
+        `data` axis and parameters replicated, scaling the same evaluator
+        from 1 chip to a full slice (the reference's only analogue is
+        DataParallel, tools/test_YCBV_stage1.py:230-231)."""
+        self.mesh = mesh
+        if mesh is not None:
+            from dcl_net_tpu.parallel.mesh import replicate
+
+            variables = replicate(variables, mesh)
         self.model = model
         self.variables = variables
         self.model_points = jnp.asarray(model_points)
@@ -123,12 +134,19 @@ class Evaluator:
             )
         )(self.variables, tmp_batch)
 
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from dcl_net_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     def evaluate(self, loader: Iterable) -> Dict[str, object]:
         distances: List[float] = []
         class_ids: List[int] = []
         lost_per_class: Dict[int, int] = {}
         for batch in loader:
-            res = self._run(self.variables, batch)
+            res = self._run(self.variables, self._shard(batch))
             adds = np.asarray(res["adds"])
             add = np.asarray(res["add"])
             valid = np.asarray(batch["valid"])

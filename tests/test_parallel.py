@@ -75,3 +75,29 @@ def test_graft_entry_single():
     out = jax.jit(fn)(variables, batch)
     assert out["rot_pred"].shape == (2, 3, 3)
     assert bool(jax.numpy.isfinite(out["rot_pred"]).all())
+
+
+def test_evaluator_on_mesh_matches_single_device():
+    """Mesh-sharded eval must produce the same distances as single-device."""
+    from dcl_net_tpu.eval.evaluator import Evaluator
+
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=N, unit_voxel_extent=UNIT, voxel_num_limit=GRID,
+    )
+    batch = _batch(8)
+    model, _ = _setup()
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    model_points = np.stack([ds.model_points(c, 64) for c in range(2)])
+
+    ev1 = Evaluator(model, variables, model_points, protocol="adds_auc")
+    res1 = ev1._run(ev1.variables, batch)
+
+    mesh = make_mesh(8)
+    ev8 = Evaluator(model, variables, model_points, protocol="adds_auc",
+                    mesh=mesh)
+    res8 = ev8._run(ev8.variables, ev8._shard(batch))
+    np.testing.assert_allclose(
+        np.asarray(res8["adds"]), np.asarray(res1["adds"]), rtol=1e-4, atol=1e-6
+    )
