@@ -59,6 +59,7 @@ def main():
     model = DCLNet(
         unit_voxel_extent=unit, voxel_num_limit=grid,
         n_inp=n_points, n_tmp=n_points,
+        interp_mode="pallas",  # the eval tools' production configuration
     )
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False

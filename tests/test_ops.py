@@ -314,3 +314,44 @@ def test_pallas_interp_matches_xla(rng):
     gp = jax.grad(lambda f: jnp.sum(pallas_nn_interpolate(pts, ctr, f, mask) * g))(feats)
     gx = jax.grad(lambda f: jnp.sum(nearest_neighbor_interpolate(pts, ctr, f, mask) * g))(feats)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
+
+
+def test_pallas_compaction_matches_dense_to_sparse(rng):
+    """Stream-compaction kernel (interpret on CPU) vs the top_k path: same
+    occupied set, coords, and features; only padding-row placement differs."""
+    from dcl_net_tpu.ops.pallas_compact import pallas_dense_to_sparse
+
+    B, D, C = 2, 8, 6
+    feats, mask = np.zeros((B, D, D, D, C), np.float32), np.zeros((B, D, D, D), np.float32)
+    for bi in range(B):
+        occ = rng.choice(D ** 3, 40, replace=False)
+        for f in occ:
+            i, j, k = np.unravel_index(f, (D, D, D))
+            mask[bi, i, j, k] = 1
+            feats[bi, i, j, k] = rng.randn(C)
+
+    cap = 64
+    ref_coords, ref_feats, ref_mask = dense_to_sparse(
+        jnp.asarray(feats), jnp.asarray(mask), cap
+    )
+    got_coords, got_feats, got_mask = pallas_dense_to_sparse(
+        jnp.asarray(feats), jnp.asarray(mask), cap
+    )
+    for bi in range(B):
+        ref_set = {
+            tuple(c): tuple(f) for c, f, m in zip(
+                np.asarray(ref_coords[bi]), np.asarray(ref_feats[bi]),
+                np.asarray(ref_mask[bi])) if m
+        }
+        got_set = {
+            tuple(c): tuple(f) for c, f, m in zip(
+                np.asarray(got_coords[bi]), np.asarray(got_feats[bi]),
+                np.asarray(got_mask[bi])) if m
+        }
+        assert set(got_set) == set(ref_set)
+        for k in ref_set:
+            np.testing.assert_allclose(got_set[k], ref_set[k], atol=1e-5)
+    # invalid rows carry zero features
+    gm = np.asarray(got_mask)
+    gf = np.asarray(got_feats)
+    assert np.abs(gf[gm == 0]).max() == 0.0
