@@ -51,25 +51,21 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def make_parallel_train_step(train_step, mesh: Mesh):
-    """Jit the train step with explicit state/batch shardings.
+    """Jit the train step with EXPLICIT state/batch shardings.
 
-    state: replicated; batch: batch-sharded. XLA/GSPMD partitions the forward
-    and inserts the gradient psum over ICI. donate the state buffers so
-    params/opt-state update in place.
+    state: replicated; batch: leading axis sharded over the `data` mesh axis
+    (sharding pytree prefixes — every leaf of each argument inherits the
+    spec). XLA/GSPMD partitions the forward and inserts the gradient psum
+    over ICI. Outputs (new state, scalar metrics) are pinned replicated so an
+    unplaced or mis-placed batch fails loudly at dispatch instead of silently
+    running replicated. State buffers are donated so params/opt-state update
+    in place.
     """
     repl = replicated_sharding(mesh)
     shard = batch_sharding(mesh)
-
-    def state_shardings(state):
-        return jax.tree.map(lambda _: repl, state)
-
-    def batch_shardings(batch):
-        return jax.tree.map(lambda _: shard, batch)
-
-    def jitted(state, batch):
-        return train_step(state, batch)
-
     return jax.jit(
-        jitted,
+        train_step,
+        in_shardings=(repl, shard),
+        out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -29,6 +29,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--override", nargs="*", default=[],
         help="config overrides key.subkey=value",
     )
+    parser.add_argument(
+        "--n_devices", default=None, type=int,
+        help="data-parallel device count (like the reference's --gpus, "
+        "tools/train_YCBV_stage1.py:251-252); default: cfg.parallel."
+        "n_devices, else 1 (no mesh)",
+    )
     return parser
 
 
@@ -50,6 +56,23 @@ def init(args, tool_name: str) -> Tuple[object, Config]:
     backup_source(log_dir)
     set_random_seed(int(cfg.get("rd_seed", 1)))
     return logger, cfg
+
+
+def build_mesh(cfg: Config, args=None):
+    """Build the 1-D data mesh requested by --n_devices / cfg.parallel.n_devices.
+
+    Returns None when n_devices <= 1 (single-device jit, no mesh) — mirrors
+    the reference engaging DataParallel only for >1 GPU
+    (tools/train_YCBV_stage1.py:251-252).
+    """
+    n = getattr(args, "n_devices", None) if args is not None else None
+    if n is None:
+        n = int(cfg.get("parallel", Config()).get("n_devices", 1))
+    if n <= 1:
+        return None
+    from dcl_net_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n)
 
 
 def build_model(cfg: Config, dtype=None, interp_mode: str = None):

@@ -11,7 +11,7 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, init
+    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
 
     args = base_parser("DCL-Net TPU LineMOD eval").parse_args(argv)
     logger, cfg = init(args, "test_lm")
@@ -45,11 +45,12 @@ def main(argv=None):
     model_points = np.stack(
         [dataset.pc_cad[o] / 1000.0 for o in dataset.objlist]
     ).astype(np.float32)
+    mesh = build_mesh(cfg, args)
     evaluator = Evaluator(
         model, variables, model_points,
         sym_class_ids=LM_SYM_IDX, protocol="add_0.1d",
         diameters=dataset.diameters(), template_bank=dataset.template_bank(),
-        logger=logger,
+        logger=logger, mesh=mesh,
     )
     loader = BatchLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16)),

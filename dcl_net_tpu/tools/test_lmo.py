@@ -12,7 +12,7 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, init
+    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
 
     args = base_parser("DCL-Net TPU Occlusion-LineMOD eval").parse_args(argv)
     logger, cfg = init(args, "test_lmo")
@@ -50,6 +50,7 @@ def main(argv=None):
     model_points = np.stack(
         [dataset.pc_cad[o] / 1000.0 for o in dataset.objlist]
     ).astype(np.float32)
+    mesh = build_mesh(cfg, args)
     evaluator = Evaluator(
         model, variables, model_points,
         sym_class_ids=LMO_SYM_IDX, protocol="add_0.1d",
@@ -57,7 +58,7 @@ def main(argv=None):
             os.path.join(lm_models, "models_info.yml")
         ),
         count_lost=True, template_bank=dataset.template_bank(),
-        logger=logger,
+        logger=logger, mesh=mesh,
     )
     loader = BatchLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16)),

@@ -11,7 +11,7 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, init
+    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
 
     args = base_parser("DCL-Net TPU YCBV stage-1 eval").parse_args(argv)
     logger, cfg = init(args, "test_ycbv_stage1")
@@ -39,10 +39,11 @@ def main(argv=None):
         payload = load_checkpoint(ckpt_path)
         variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
 
+    mesh = build_mesh(cfg, args)
     evaluator = Evaluator(
         model, variables, dataset.model_points_array(),
         protocol="adds_auc", template_bank=dataset.template_bank(),
-        logger=logger,
+        logger=logger, mesh=mesh,
     )
     loader = EvalFrameLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16))

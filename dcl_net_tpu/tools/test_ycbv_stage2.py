@@ -11,7 +11,7 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, init
+    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
 
     parser = base_parser("DCL-Net TPU YCBV stage-2 eval")
     parser.add_argument("--iteration", default=2, type=int)
@@ -52,11 +52,12 @@ def main(argv=None):
     dataset = YCBVTestDataset(cfg.hyper_dataset_test, root, assets_dir=assets)
 
     refiner = Refiner(n_inp=int(cfg.model.n_inp))
+    mesh = build_mesh(cfg, args)
     evaluator = Stage2Evaluator(
         model, main_vars, refiner, refiner_vars,
         dataset.model_points_array(), iterations=args.iteration,
         protocol="adds_auc", template_bank=dataset.template_bank(),
-        logger=logger,
+        logger=logger, mesh=mesh,
     )
     loader = EvalFrameLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16))

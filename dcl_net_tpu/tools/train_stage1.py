@@ -13,7 +13,9 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, build_train_dataset, init
+    from dcl_net_tpu.tools.common import (
+        base_parser, build_mesh, build_model, build_train_dataset, init,
+    )
 
     args = base_parser("DCL-Net TPU stage-1 training").parse_args(argv)
     logger, cfg = init(args, "train_stage1")
@@ -45,9 +47,15 @@ def main(argv=None):
         seed=int(cfg.get("rd_seed", 1)),
     )
     writer = ScalarWriter(cfg.log_dir)
+    mesh = build_mesh(cfg, args)
+    if mesh is not None:
+        logger.warning(
+            f"data-parallel over {mesh.size} devices "
+            f"(per-device batch {int(cfg.hyper_dataloader_train.bs) // mesh.size})"
+        )
     solver = Solver(
         model, dcl_losses, cfg, loader, logger=logger,
-        checkpoint_dir=cfg.log_dir, writer=writer,
+        checkpoint_dir=cfg.log_dir, writer=writer, mesh=mesh,
     )
 
     first_batch = next(iter(loader))
@@ -58,10 +66,10 @@ def main(argv=None):
     if resume:
         logger.warning(f"resuming from {resume}")
         payload = load_checkpoint(resume)
-        solver.state = solver.state.replace(
+        solver.set_state(solver.state.replace(
             params=payload["params"], batch_stats=payload["batch_stats"],
             opt_state=payload["opt_state"], step=payload["step"],
-        )
+        ))
         solver.epoch = int(payload["epoch"])
 
     solver.solve()

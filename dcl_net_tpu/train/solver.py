@@ -224,10 +224,21 @@ class Solver:
 
     def __init__(self, model, loss_fn, cfg: Config, loader, logger=None,
                  checkpoint_dir: Optional[str] = None, writer=None,
-                 eval_fn: Optional[Callable] = None):
+                 eval_fn: Optional[Callable] = None, mesh=None,
+                 step_fn: Optional[Callable] = None):
         """eval_fn(state, epoch) -> dict of scalars; called every
         cfg.per_val epochs (reference Trainer.evaluate,
-        tools/train_YCBV_stage2.py:205-222)."""
+        tools/train_YCBV_stage2.py:205-222).
+
+        mesh: optional jax.sharding.Mesh — the train step runs data-parallel
+        over its `data` axis: params/opt-state replicated, batches sharded on
+        the leading axis, gradient psum over ICI inserted by GSPMD (the
+        reference's one multi-device strategy, DataParallel at
+        tools/train_YCBV_stage1.py:251-252). Per-device batch = B/n_devices.
+
+        step_fn: optional custom UNJITTED train step (state, batch) ->
+        (state, metrics) replacing the default stage-1 step — used by the
+        stage-2 refiner trainer; mesh/jit/donation handling stays here."""
         self.model = model
         self.cfg = cfg
         self.loader = loader
@@ -235,12 +246,22 @@ class Solver:
         self.writer = writer
         self.checkpoint_dir = checkpoint_dir
         self.eval_fn = eval_fn
+        self.mesh = mesh
         steps_per_epoch = len(loader)
         self.tx, self.schedule = build_optimizer(cfg, steps_per_epoch)
-        # donate the state: params/opt-state update in place on device
-        self.train_step = jax.jit(
-            make_train_step(model, self.tx, loss_fn), donate_argnums=(0,)
-        )
+        raw_step = step_fn or make_train_step(model, self.tx, loss_fn)
+        if mesh is not None:
+            from dcl_net_tpu.parallel.mesh import make_parallel_train_step
+
+            bs = getattr(loader, "batch_size", None)
+            if bs is not None and bs % mesh.size != 0:
+                raise ValueError(
+                    f"batch size {bs} not divisible by mesh size {mesh.size}"
+                )
+            self.train_step = make_parallel_train_step(raw_step, mesh)
+        else:
+            # donate the state: params/opt-state update in place on device
+            self.train_step = jax.jit(raw_step, donate_argnums=(0,))
         self.state: Optional[TrainState] = None
         self.epoch = 0
 
@@ -248,6 +269,19 @@ class Solver:
         self.state = init_train_state(
             self.model, self.tx, example_batch, jax.random.PRNGKey(seed)
         )
+        if self.mesh is not None:
+            from dcl_net_tpu.parallel.mesh import replicate
+
+            self.state = replicate(self.state, self.mesh)
+        return self.state
+
+    def set_state(self, state: TrainState):
+        """Install a restored state, replicating it onto the mesh if any."""
+        if self.mesh is not None:
+            from dcl_net_tpu.parallel.mesh import replicate
+
+            state = replicate(state, self.mesh)
+        self.state = state
         return self.state
 
     def solve(self, max_epoch: Optional[int] = None):
@@ -308,6 +342,10 @@ class Solver:
             t_data = time.time() - end
             if self.state is None:
                 self.initialize(batch)
+            if self.mesh is not None:
+                from dcl_net_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
             state, metrics = self.train_step(self.state, batch)
             self.state = state
             # fetching the scalars forces completion (block_until_ready can

@@ -62,6 +62,47 @@ def test_eight_device_train_step_matches_single_device():
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_solver_on_mesh_matches_single_device():
+    """The PRODUCT path: Solver(mesh=...) (what tools/train_stage1.py
+    --n_devices engages) must train to the same losses as the single-device
+    Solver on identical data."""
+    from dcl_net_tpu.data.loader import BatchLoader
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+
+    def run(mesh):
+        ds = SyntheticPoseDataset(
+            n_objects=4, n_points=N, unit_voxel_extent=UNIT,
+            voxel_num_limit=GRID, length=16, seed=0,
+        )
+        loader = BatchLoader(ds, batch_size=8, num_workers=2, seed=0)
+        model, _ = _setup()
+        from dcl_net_tpu.train.solver import Solver
+
+        cfg = Config({
+            "optimizer": {"type": "Adam", "lr": 1e-3, "betas": [0.5, 0.999],
+                          "eps": 1e-6},
+            "max_epoch": 1,
+        })
+        solver = Solver(model, dcl_losses, cfg, loader, mesh=mesh)
+        losses = []
+        for batch in loader:
+            if solver.state is None:
+                solver.initialize(batch, seed=0)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            solver.state, metrics = solver.train_step(solver.state, batch)
+            losses.append(float(metrics["loss_all"]))
+        return losses
+
+    single = run(None)
+    parallel = run(make_mesh(8))
+    assert len(single) == len(parallel) == 2
+    # step 1 is fresh-init (tight); step 2 runs on once-updated params, where
+    # shard-reduction float ordering has been amplified through Adam once.
+    np.testing.assert_allclose(parallel, single, rtol=1e-3)
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
