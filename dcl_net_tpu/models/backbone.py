@@ -112,9 +112,8 @@ class MultiScalePointFeatures(nn.Module):
                 cap = min(int(self.capacities[level]), grid_n)
                 use_pallas = self.interp_mode == "pallas" and points.shape[1] % 128 == 0
                 if use_pallas:
-                    # inference fast path: stream compaction + fused 3-NN
-                    # (the compaction kernel has no VJP yet — training uses
-                    # the exact path)
+                    # fast path for BOTH eval and training: stream compaction
+                    # (custom-VJP) + fused 3-NN interp (custom-VJP)
                     from dcl_net_tpu.ops.pallas_compact import pallas_dense_to_sparse
                     from dcl_net_tpu.ops.pallas_interp import pallas_nn_interpolate
 

@@ -22,8 +22,9 @@ sparse gather/GEMM/scatter machinery can be expressed EXACTLY on dense grids:
   statistics run over occupied voxels only (see masked_batch_norm_stats).
 
 Everything here is functional; the parameterized layers live in
-dcl_net_tpu/models/blocks.py. A Pallas gather-GEMM fast path for the highest-
-resolution level lives in dcl_net_tpu/ops/pallas_spconv.py.
+dcl_net_tpu/models/blocks.py. (A Pallas gather-GEMM sparse-conv variant was
+prototyped and REJECTED on measurement — the XLA row-gather costs more than
+the dense convs it would replace at this occupancy; see docs/PERF.md.)
 """
 
 from __future__ import annotations

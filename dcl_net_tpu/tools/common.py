@@ -95,8 +95,15 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
     m = cfg.model
     kwargs = {}
     mode = m.get("interp_mode", interp_mode)
-    if mode:
-        kwargs["interp_mode"] = str(mode)
+    if mode is None:
+        # Default: the fused Pallas interp path (custom-VJP, so valid for
+        # training too: 590 vs 655 ms/step at B=32, docs/PERF.md) on TPU;
+        # on CPU the kernels run in interpret mode (slow), so tests and
+        # CPU smoke runs keep the exact XLA path.
+        import jax
+
+        mode = "pallas" if jax.default_backend() == "tpu" else "exact"
+    kwargs["interp_mode"] = str(mode)
     return model_cls(
         voxelization_mode=int(m.voxelization_mode),
         unit_voxel_extent=tuple(m.unit_voxel_extent),

@@ -355,3 +355,102 @@ def test_pallas_compaction_matches_dense_to_sparse(rng):
     gm = np.asarray(got_mask)
     gf = np.asarray(got_feats)
     assert np.abs(gf[gm == 0]).max() == 0.0
+
+
+def test_pallas_compaction_vjp_matches_dense_to_sparse(rng):
+    """The compaction custom VJP (transposed one-hot matmul) must agree with
+    autodiff through the top_k extraction path — this is what makes
+    interp_mode='pallas' valid under jax.grad for training (reference
+    backward: libs/pointnet_sp/src/interpolate_gpu.cu:124-146)."""
+    from dcl_net_tpu.ops.pallas_compact import pallas_dense_to_sparse
+
+    B, D, C = 2, 8, 6
+    feats = rng.randn(B, D, D, D, C).astype(np.float32)
+    mask = (rng.rand(B, D, D, D) > 0.7).astype(np.float32)
+    feats = feats * mask[..., None]
+    cap = 64
+    g = rng.randn(B, cap, C).astype(np.float32)
+
+    def loss_pallas(f):
+        _, vfeats, vmask = pallas_dense_to_sparse(f, jnp.asarray(mask), cap)
+        return jnp.sum(vfeats * jnp.asarray(g) * vmask[..., None])
+
+    def loss_exact(f):
+        # dense_to_sparse orders by linear index too, but pads differently:
+        # project both to a canonical per-voxel sum so the comparison is
+        # placement-independent.
+        _, vfeats, vmask = dense_to_sparse(f, jnp.asarray(mask), cap)
+        return jnp.sum(vfeats * jnp.asarray(g) * vmask[..., None])
+
+    # padding placement differs between the two paths, so compare against a
+    # hand-built oracle instead: grad of sum(vfeats*g) routes g-rows back to
+    # their source voxels.
+    gp = jax.grad(loss_pallas)(jnp.asarray(feats))
+    coords, _, vmask = pallas_dense_to_sparse(jnp.asarray(feats), jnp.asarray(mask), cap)
+    want = np.zeros_like(feats)
+    for bi in range(B):
+        for v in range(cap):
+            if np.asarray(vmask)[bi, v]:
+                i, j, k = np.asarray(coords)[bi, v]
+                want[bi, i, j, k] += g[bi, v]
+    np.testing.assert_allclose(np.asarray(gp), want, atol=1e-5)
+
+    # and the total-loss gradients of both paths agree where both are valid
+    ge = jax.grad(loss_exact)(jnp.asarray(feats))
+    # same occupied set in the same linear order at identical g-rows only if
+    # placement matches; instead compare a placement-independent functional:
+    def mean_feat(path_fn):
+        def f(x):
+            _, vfeats, vmask = path_fn(x, jnp.asarray(mask), cap)
+            return jnp.sum(vfeats * vmask[..., None])
+        return jax.grad(f)(jnp.asarray(feats))
+
+    np.testing.assert_allclose(
+        np.asarray(mean_feat(pallas_dense_to_sparse)),
+        np.asarray(mean_feat(dense_to_sparse)),
+        atol=1e-5,
+    )
+    del ge
+
+
+def test_pallas_interp_mode_grad_matches_exact_end_to_end(rng):
+    """Full-model gradient: interp_mode='pallas' (compaction + fused 3-NN,
+    both custom-VJP) vs interp_mode='exact' — training may default to the
+    fast path only if gradients match."""
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet, dcl_losses
+
+    grid, unit, n = (16, 16, 16), (0.024, 0.024, 0.024), 128
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
+        seed=3,
+    )
+    batch = make_batch([ds[i] for i in range(2)]).to_dict()
+
+    grads = {}
+    outs = {}
+    for mode in ("exact", "pallas"):
+        model = DCLNet(
+            unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n, n_tmp=n,
+            capacities=(256, 64, 16, 8), interp_mode=mode,
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+
+        def loss(params):
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return dcl_losses(pred, batch)["loss_all"]
+
+        outs[mode] = float(loss(variables["params"]))
+        grads[mode] = jax.grad(loss)(variables["params"])
+
+    np.testing.assert_allclose(outs["pallas"], outs["exact"], rtol=1e-4)
+    flat_e = jax.tree.leaves(grads["exact"])
+    flat_p = jax.tree.leaves(grads["pallas"])
+    for a, b in zip(flat_e, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4
+        )
