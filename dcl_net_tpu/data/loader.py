@@ -41,6 +41,10 @@ class BatchLoader:
         self.prefetch = prefetch
         self.to_jax = to_jax
         self.epoch = 0
+        # mid-epoch resume: next iteration skips this many leading batches
+        # (the shuffle is seeded by seed+epoch, so the skipped prefix is
+        # exactly the consumed one); reset to 0 after one use.
+        self.skip_next = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -59,6 +63,9 @@ class BatchLoader:
         idx = self._indices()
         nb = len(self)
         batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        if self.skip_next:
+            batches = batches[self.skip_next :]
+            self.skip_next = 0
         self.epoch += 1
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -33,7 +33,7 @@ def main(argv=None):
     from dcl_net_tpu.models.dcl_net import dcl_losses
     from dcl_net_tpu.train.logging import ScalarWriter, parameter_count
     from dcl_net_tpu.train.solver import Solver
-    from dcl_net_tpu.train.checkpoints import latest_checkpoint, load_checkpoint
+    from dcl_net_tpu.train.checkpoints import latest_checkpoint
 
     logger.info("=> creating model ...")
     model = build_model(cfg)
@@ -65,12 +65,7 @@ def main(argv=None):
     resume = latest_checkpoint(cfg.log_dir)
     if resume:
         logger.warning(f"resuming from {resume}")
-        payload = load_checkpoint(resume)
-        solver.set_state(solver.state.replace(
-            params=payload["params"], batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"], step=payload["step"],
-        ))
-        solver.epoch = int(payload["epoch"])
+        solver.restore(resume)  # incl. mid-epoch position
 
     solver.solve()
     logger.warning("training done")

@@ -35,17 +35,24 @@ def save_checkpoint(directory: str, state, epoch: int, meta: Optional[Dict] = No
         "opt_state": jax.device_get(state.opt_state),
         "step": int(state.step),
         "epoch": epoch,
+        # always present so restore-with-target has a fixed schema;
+        # consumed_batches > 0 marks a mid-epoch checkpoint
+        "meta": {"consumed_batches": 0, **(meta or {})},
     }
-    if meta:
-        payload["meta"] = meta
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload, force=True)
     return path
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
+def load_checkpoint(path: str, target: Optional[Dict] = None) -> Dict[str, Any]:
+    """Restore a checkpoint. Without `target`, container types degrade to
+    plain dicts (fine for params/batch_stats). Pass `target` (a matching
+    pytree, e.g. built from a live TrainState) to restore custom containers
+    — optax/NamedTuple opt states NEED this or their structure is lost."""
     ocp = _ocp()
     with ocp.PyTreeCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(os.path.abspath(path), item=target)
         return ckptr.restore(os.path.abspath(path))
 
 

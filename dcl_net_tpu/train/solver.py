@@ -309,15 +309,44 @@ class Solver:
 
     def maybe_save_steps(self, i: int):
         """Mid-epoch checkpointing every cfg.per_save_steps steps (the
-        reference only saves per epoch; long epochs lose hours on preemption)."""
+        reference only saves per epoch; long epochs lose hours on preemption).
+
+        The meta records how many batches of the current epoch are consumed;
+        restore() feeds that to the loader so a resumed run replays the exact
+        remaining batches (the shuffle is seeded by seed+epoch)."""
         per_save_steps = int(self.cfg.get("per_save_steps", 0))
         if self.checkpoint_dir and per_save_steps and i and i % per_save_steps == 0:
             from dcl_net_tpu.train.checkpoints import save_checkpoint
 
             save_checkpoint(
                 self.checkpoint_dir, self.state, self.epoch,
-                meta={"mid_epoch_step": i},
+                meta={"consumed_batches": i + 1},
             )
+
+    def restore(self, path: str) -> None:
+        """Resume from a checkpoint directory — params/opt-state/step, epoch,
+        and (for mid-epoch checkpoints) the position inside the epoch. The
+        live state provides the restore target so optax's NamedTuple opt
+        state keeps its structure (a raw orbax restore degrades it to dicts)."""
+        if self.state is None:
+            raise RuntimeError("call initialize() before restore()")
+        from dcl_net_tpu.train.checkpoints import load_checkpoint
+
+        target = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0, "epoch": 0, "meta": {"consumed_batches": 0},
+        }
+        payload = load_checkpoint(path, target=target)
+        self.set_state(self.state.replace(
+            params=payload["params"], batch_stats=payload["batch_stats"],
+            opt_state=payload["opt_state"], step=payload["step"],
+        ))
+        self.epoch = int(payload["epoch"])
+        consumed = int(payload["meta"]["consumed_batches"])
+        if consumed and hasattr(self.loader, "skip_next"):
+            self.loader.skip_next = consumed
 
     def train_epoch(self) -> Dict[str, float]:
         per_write = int(self.cfg.get("per_write", 10))
@@ -331,7 +360,13 @@ class Solver:
         profile_dir = self.cfg.get("profile_dir") or _os.environ.get("DCLX_PROFILE_DIR")
         buffer: Dict[str, list] = {}
         end = time.time()
-        for i, batch in enumerate(self.loader):
+        # keep the loader's shuffle epoch in lockstep with the solver epoch
+        # (init peeks or resumes must not drift the data order)
+        if hasattr(self.loader, "epoch"):
+            self.loader.epoch = self.epoch
+        offset = getattr(self.loader, "skip_next", 0)  # mid-epoch resume
+        for i0, batch in enumerate(self.loader):
+            i = i0 + offset
             if profile_dir and self.epoch == 0 and i == 2:
                 try:
                     jax.profiler.start_trace(profile_dir)

@@ -158,3 +158,81 @@ def test_solver_eval_hook(tmp_path):
     solver.initialize(next(iter(loader)))
     solver.solve()
     assert calls == [1, 2]
+
+
+def test_mid_epoch_resume_reproduces_uninterrupted_run(tmp_path):
+    """Kill training mid-epoch, resume from the mid-epoch checkpoint, and the
+    concatenated metric stream must equal the uninterrupted run's — i.e. the
+    resume restores the exact position in the (seeded) epoch data order, not
+    just the epoch boundary."""
+    from dcl_net_tpu.config import Config as Cfg
+    from dcl_net_tpu.data.loader import BatchLoader
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet, dcl_losses
+    from dcl_net_tpu.train.checkpoints import latest_checkpoint
+    from dcl_net_tpu.train.solver import Solver
+
+    kw = dict(n_objects=2, n_points=64, unit_voxel_extent=(0.024,) * 3,
+              voxel_num_limit=(16,) * 3, length=16)
+
+    class InterruptingLoader(BatchLoader):
+        """Simulated preemption: die before yielding batch `interrupt_after`."""
+
+        interrupt_after = None
+
+        def __iter__(self):
+            count = 0
+            for b in super().__iter__():
+                if self.interrupt_after is not None and count >= self.interrupt_after:
+                    raise KeyboardInterrupt
+                yield b
+                count += 1
+
+    def build(ckpt_dir, interrupt_after=None):
+        ds = SyntheticPoseDataset(**kw)
+        loader = InterruptingLoader(ds, batch_size=4, num_workers=2, seed=0)
+        loader.interrupt_after = interrupt_after
+        model = DCLNet(unit_voxel_extent=(0.024,) * 3, voxel_num_limit=(16,) * 3,
+                       n_inp=64, n_tmp=64, capacities=(256, 64, 16, 8))
+        cfg = Cfg({"optimizer": {"type": "Adam", "lr": 1e-3}, "max_epoch": 2,
+                   "per_write": 1000, "per_save": 1000, "per_save_steps": 2})
+        solver = Solver(model, dcl_losses, cfg, loader,
+                        checkpoint_dir=str(ckpt_dir) if ckpt_dir else None)
+        init_batch = make_batch([ds[i] for i in range(4)]).to_dict()
+        solver.initialize(init_batch, seed=0)
+        losses = []
+        orig = solver.train_step
+
+        def wrapped(state, batch):
+            state, m = orig(state, batch)
+            losses.append(float(m["loss_all"]))
+            return state, m
+
+        solver.train_step = wrapped
+        return solver, losses
+
+    # A: uninterrupted, 2 epochs x 4 steps
+    solver_a, losses_a = build(None)
+    solver_a.solve()
+    assert len(losses_a) == 8
+
+    # B: killed after 3 steps of epoch 0 (mid-epoch ckpt at step idx 2,
+    # consumed=3)
+    import pytest as _pytest
+
+    solver_b, losses_b = build(tmp_path, interrupt_after=3)
+    with _pytest.raises(KeyboardInterrupt):
+        solver_b.solve()
+    assert len(losses_b) == 3
+    ckpt = latest_checkpoint(str(tmp_path))
+    assert ckpt is not None
+
+    # C: fresh process, restore, run to completion
+    solver_c, losses_c = build(None)
+    solver_c.restore(ckpt)
+    assert solver_c.epoch == 0 and solver_c.loader.skip_next == 3
+    solver_c.solve()
+    assert len(losses_c) == 5  # step 3 of epoch 0 + all 4 of epoch 1
+
+    np.testing.assert_allclose(losses_b + losses_c, losses_a, rtol=1e-6)
