@@ -1,5 +1,10 @@
 """Stage-2 (refiner) training CLI (reference tools/train_YCBV_stage2.py).
 
+Runs the full Solver stack — ScalarWriter logging, per-epoch + mid-epoch
+checkpoints, automatic resume, per_val eval hook, optional data-parallel
+mesh — exactly like stage 1 (the reference stage-2 Trainer inherits the same
+services from gorilla BaseSolver, tools/train_YCBV_stage2.py:89-222).
+
 Usage:
   python -m dcl_net_tpu.tools.train_ycbv_stage2 --config configs/config_YCBV_bs40.yaml \
       --config_stage1 configs/config_YCBV_bs32.yaml --checkpoint_stage1 <path> \
@@ -9,11 +14,12 @@ Usage:
 from __future__ import annotations
 
 import os
-import time
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, build_train_dataset, init
+    from dcl_net_tpu.tools.common import (
+        base_parser, build_mesh, build_model, build_train_dataset, init,
+    )
 
     parser = base_parser("DCL-Net TPU stage-2 refiner training")
     parser.add_argument("--refiner", default="Refiner")
@@ -27,17 +33,23 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_cache")),
+    )
+
     from dcl_net_tpu.config import Config
     from dcl_net_tpu.data.loader import BatchLoader
-    from dcl_net_tpu.models.refiner import Refiner
+    from dcl_net_tpu.eval.metrics import add_s_batch
+    from dcl_net_tpu.models.refiner import Refiner, refine_pose
     from dcl_net_tpu.train.checkpoints import (
         convert_reference_state_dict,
         load_checkpoint,
         load_torch_checkpoint,
         latest_checkpoint,
-        save_checkpoint,
     )
-    from dcl_net_tpu.train.solver import TrainState, build_optimizer
+    from dcl_net_tpu.train.logging import ScalarWriter, parameter_count
+    from dcl_net_tpu.train.solver import Solver
     from dcl_net_tpu.train.stage2 import make_stage2_train_step
 
     cfg_stage1 = Config.fromfile(args.config_stage1) if args.config_stage1 else cfg
@@ -54,6 +66,10 @@ def main(argv=None):
     dataset = build_train_dataset(cfg)
     # reference divides the batch by `iteration` (tools/train_YCBV_stage2.py:346)
     bs = max(int(cfg.hyper_dataloader_train.bs) // args.iteration, 1)
+    mesh = build_mesh(cfg, args)
+    if mesh is not None:
+        bs = max(bs // mesh.size, 1) * mesh.size  # keep divisibility
+        logger.warning(f"data-parallel over {mesh.size} devices (batch {bs})")
     loader = BatchLoader(
         dataset, batch_size=bs,
         num_workers=int(cfg.hyper_dataloader_train.get("num_workers", 8)),
@@ -71,40 +87,57 @@ def main(argv=None):
         cld = np.stack(
             [dataset.model_points(i, n_tmp) for i in range(len(dataset.cad_points))]
         ).astype(np.float32)
+    cld = jnp.asarray(cld)
 
     refiner = Refiner(n_inp=int(cfg.model.n_inp))
-    tx, schedule = build_optimizer(cfg, len(loader))
 
-    first = next(iter(loader))
-    b, n = first["inp"]["feats"].shape[:2]
+    # per_val hook: refined-pose ADD-S on a held-out deterministic batch
+    # (mirrors the reference Trainer.evaluate cadence,
+    # tools/train_YCBV_stage2.py:205-222, without requiring test data on disk)
+    eval_batch = next(iter(loader))
+
+    @jax.jit
+    def _eval_run(params):
+        out = main_model.apply(main_vars, eval_batch, train=False)
+        rot, trans = refine_pose(
+            refiner.apply, {"params": params},
+            out["points_inp"], out["F_Xo_p"], out["conf"],
+            out["rot_pred"], out["trans_pred"], args.iteration,
+        )
+        pts = cld[eval_batch["labels"]["obj_idx"]]
+        adds = add_s_batch(
+            pts, rot, trans,
+            eval_batch["labels"]["rot_gt"], eval_batch["labels"]["trans_gt"],
+        )
+        valid = eval_batch["valid"]
+        return jnp.sum(adds * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def eval_fn(state, epoch):
+        return {"refined_adds_mean": float(_eval_run(state.params))}
+
+    writer = ScalarWriter(cfg.log_dir)
+    solver = Solver(
+        refiner, None, cfg, loader, logger=logger,
+        checkpoint_dir=cfg.log_dir, writer=writer, eval_fn=eval_fn, mesh=mesh,
+        step_builder=lambda tx: make_stage2_train_step(
+            main_model, main_vars, refiner, tx, args.iteration, cld
+        ),
+    )
+
+    b, n = eval_batch["inp"]["feats"].shape[:2]
     dummy = {
         "input_features": jnp.zeros((b, n, 259)),
         "conf": jnp.zeros((b, 2 * n)),
     }
-    variables = refiner.init(jax.random.PRNGKey(int(cfg.get("rd_seed", 1))), dummy)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32), params=variables["params"],
-        batch_stats={}, opt_state=tx.init(variables["params"]),
-    )
+    solver.initialize(dummy, seed=int(cfg.get("rd_seed", 1)))
+    logger.warning(f"#Refiner parameters : {parameter_count(solver.state.params)}")
 
-    step_fn = jax.jit(make_stage2_train_step(
-        main_model, main_vars, refiner, tx, args.iteration, jnp.asarray(cld)
-    ))
+    resume = latest_checkpoint(cfg.log_dir)
+    if resume:
+        logger.warning(f"resuming from {resume}")
+        solver.restore(resume)  # incl. mid-epoch position
 
-    max_epoch = int(cfg.get("max_epoch", 1))
-    per_write = int(cfg.get("per_write", 10))
-    for epoch in range(max_epoch):
-        end = time.time()
-        for i, batch in enumerate(loader):
-            state, metrics = step_fn(state, batch)
-            loss = float(metrics["loss_all"])
-            if i % per_write == 0:
-                logger.info(
-                    f"[{epoch}][{i}/{len(loader)}] loss_all: {loss:.5f} "
-                    f"T_step: {time.time() - end:.3f}"
-                )
-            end = time.time()
-        save_checkpoint(cfg.log_dir, state, epoch + 1)
+    solver.solve()
     logger.warning("stage-2 training done")
 
 

@@ -225,7 +225,7 @@ class Solver:
     def __init__(self, model, loss_fn, cfg: Config, loader, logger=None,
                  checkpoint_dir: Optional[str] = None, writer=None,
                  eval_fn: Optional[Callable] = None, mesh=None,
-                 step_fn: Optional[Callable] = None):
+                 step_builder: Optional[Callable] = None):
         """eval_fn(state, epoch) -> dict of scalars; called every
         cfg.per_val epochs (reference Trainer.evaluate,
         tools/train_YCBV_stage2.py:205-222).
@@ -236,9 +236,11 @@ class Solver:
         reference's one multi-device strategy, DataParallel at
         tools/train_YCBV_stage1.py:251-252). Per-device batch = B/n_devices.
 
-        step_fn: optional custom UNJITTED train step (state, batch) ->
-        (state, metrics) replacing the default stage-1 step — used by the
-        stage-2 refiner trainer; mesh/jit/donation handling stays here."""
+        step_builder: optional factory tx -> unjitted train step
+        (state, batch) -> (state, metrics) replacing the default stage-1
+        step — used by the stage-2 refiner trainer; it receives the Solver's
+        own optimizer so opt-state structure matches, and mesh/jit/donation
+        handling stays here."""
         self.model = model
         self.cfg = cfg
         self.loader = loader
@@ -249,7 +251,8 @@ class Solver:
         self.mesh = mesh
         steps_per_epoch = len(loader)
         self.tx, self.schedule = build_optimizer(cfg, steps_per_epoch)
-        raw_step = step_fn or make_train_step(model, self.tx, loss_fn)
+        raw_step = (step_builder(self.tx) if step_builder
+                    else make_train_step(model, self.tx, loss_fn))
         if mesh is not None:
             from dcl_net_tpu.parallel.mesh import make_parallel_train_step
 

@@ -63,10 +63,28 @@ def test_stage2_train_synthetic_smoke(tmp_path):
         "--log_root", log_root, "--exp_id", "2",
         "--checkpoint_stage1", stage1_ckpt,
         "--iteration", "2",
-        "--override", *SMALL_OVERRIDES,
+        "--override", *SMALL_OVERRIDES, "per_val=1",
     ])
     exp_dir = os.path.join(log_root, "DCL_Net_config_synthetic_smoke_id2")
     assert os.path.isdir(os.path.join(exp_dir, "epoch_1"))
+    # Solver parity with stage 1 (reference stage-2 Trainer inherits these,
+    # tools/train_YCBV_stage2.py:89-222): ScalarWriter records + per_val hook
+    records = [
+        json.loads(line) for line in
+        open(os.path.join(exp_dir, "scalars.jsonl")).read().strip().splitlines()
+    ]
+    train_recs = [r for r in records if r["mode"] == "train"]
+    eval_recs = [r for r in records if r["mode"] == "eval"]
+    assert train_recs and np.isfinite(train_recs[-1]["loss_all"])
+    assert eval_recs and np.isfinite(eval_recs[-1]["refined_adds_mean"])
+    # resume path: a second invocation picks up epoch_1 and finishes at once
+    main2([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--log_root", log_root, "--exp_id", "2",
+        "--checkpoint_stage1", stage1_ckpt,
+        "--iteration", "2",
+        "--override", *SMALL_OVERRIDES, "per_val=1",
+    ])
 
 
 def test_eval_ycbv_cli(tmp_path):
