@@ -146,6 +146,8 @@ class EvalFrameLoader:
             yield from emit(force=True)
 
     def dataset_invalid_template(self):
+        if hasattr(self.dataset, "invalid_row"):
+            return self.dataset.invalid_row()
         n, m = self.dataset.n_inp, self.dataset.n_tmp
         return {
             "inp_feats": np.zeros((n, 7), np.float32),

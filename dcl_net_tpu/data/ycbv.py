@@ -300,7 +300,7 @@ class YCBVTestDataset:
                 choose = mask[rmin:rmax, cmin:cmax].flatten().nonzero()[0]
             if not detected or choose is None or choose.shape[0] == 0:
                 lost.append({"obj_idx": obj_id - 1, "rot_gt": target_r,
-                             "trans_gt": target_t})
+                             "trans_gt": target_t, "gt_pos": idx})
                 continue
 
             rgb = pp.normalize_rgb(img[rmin:rmax, cmin:cmax].reshape(-1, 3)[choose])
@@ -341,5 +341,45 @@ class YCBVTestDataset:
                 "obj_idx": np.int32(obj_id - 1),
                 "sym_flag": np.float32(1.0 if (obj_id - 1) in SYMMETRY_OBJ_IDX else 0.0),
                 "valid": 1.0, "centroid": centroid.astype(np.float32),
+                "gt_pos": idx,
             })
         return {"samples": samples, "lost": lost, "path": path}
+
+    def invalid_row(self) -> Dict:
+        """A valid=0 placeholder row (lost detection / padding); input
+        features are replaced by a real sample's in make_batch."""
+        n, m = self.n_inp, self.n_tmp
+        return {
+            "inp_feats": np.zeros((n, 7), np.float32),
+            "inp_voxel_idx": np.zeros((n, 3), np.int32),
+            "tmp_feats": np.zeros((m, 7), np.float32),
+            "tmp_voxel_idx": np.zeros((m, 3), np.int32),
+            "rot_gt": np.zeros((3, 3), np.float32),
+            "trans_gt": np.zeros(3, np.float32),
+            "obj_idx": np.int32(0),
+            "sym_flag": np.float32(0.0),
+            "valid": 0.0,
+        }
+
+    def frames(self, pad_to: Optional[int] = None):
+        """Reference-protocol iteration: ONE batch per image holding exactly
+        that image's ground-truth instances in gt order, with lost detections
+        as valid=0 rows carrying their true labels (reference
+        YCBV/dataloader_test_YCBV.py:116-144 marks all_flags=0 in place and
+        :259-260 batches all instances of one image together). Yields
+        (batch_dict, path)."""
+        from dcl_net_tpu.data.schema import make_batch
+
+        for i in range(len(self)):
+            frame = self[i]
+            rows = list(frame["samples"])
+            for lost in frame["lost"]:
+                row = self.invalid_row()
+                row.update(
+                    rot_gt=lost["rot_gt"], trans_gt=lost["trans_gt"],
+                    obj_idx=np.int32(lost["obj_idx"]), valid=0.0,
+                    gt_pos=lost["gt_pos"],
+                )
+                rows.append(row)
+            rows.sort(key=lambda r: r["gt_pos"])
+            yield make_batch(rows, pad_to=pad_to).to_dict(), frame["path"]
