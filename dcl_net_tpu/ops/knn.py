@@ -7,10 +7,11 @@ reference libs/pointnet_lib/pointnet2_utils.py) and ``libs/pointnet_sp``
 interpolate_gpu.cu:9-146).
 
 Design: point sets are small and static (N = M = 1024, voxel lists <= 8192),
-so brute-force masked distance matrices + ``jax.lax.top_k`` are exact,
-MXU-friendly (the cross term of the squared distance is a matmul), fully
-batched, and differentiable by construction — no scatter/atomics needed for
-the backward pass, unlike the CUDA originals.
+so brute-force masked distance matrices + iterated argmin selection are
+exact, MXU-friendly (the cross term of the squared distance is a matmul),
+fully batched, and differentiable by construction — no scatter/atomics
+needed for the backward pass, unlike the CUDA originals. (``lax.top_k`` is
+deliberately avoided: it full-sorts each row, ~30x slower here.)
 """
 
 from __future__ import annotations
@@ -47,22 +48,31 @@ def knn(
         d2 = jnp.where(ref_mask[:, None, :] > 0, d2, _BIG)
     m = d2.shape[-1]
     k_eff = min(k, m)
+    # lax.top_k full-sorts each row (~30x slower on this TPU backend than
+    # min/argmin passes). Iterated argmin is exact and stable-ordered (ties
+    # resolve to ascending index like a stable sort); small k unrolls, large
+    # k (the reference supports k<=200) runs the same body as a scan.
+    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
+
+    def one_pass(cur):
+        i = jnp.argmin(cur, axis=-1)
+        d = jnp.min(cur, axis=-1)
+        return jnp.where(col == i[..., None], _BIG, cur), (d, i)
+
     if k_eff <= 8:
-        # lax.top_k full-sorts each row (~30x slower on TPU than k passes of
-        # min/argmin for tiny k). Iterated argmin is exact and stable-ordered:
-        # ties resolve to ascending index like a stable sort.
         dists, idxs = [], []
-        col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, d2.ndim - 1)
         for _ in range(k_eff):
-            i = jnp.argmin(d2, axis=-1)
-            dists.append(jnp.min(d2, axis=-1))
+            d2, (d, i) = one_pass(d2)
+            dists.append(d)
             idxs.append(i)
-            d2 = jnp.where(col == i[..., None], _BIG, d2)
         dist2 = jnp.stack(dists, axis=-1)
         idx = jnp.stack(idxs, axis=-1)
     else:
-        neg, idx = jax.lax.top_k(-d2, k_eff)
-        dist2 = -neg
+        _, (dist2, idx) = jax.lax.scan(
+            lambda cur, _: one_pass(cur), d2, None, length=k_eff
+        )
+        dist2 = jnp.moveaxis(dist2, 0, -1)
+        idx = jnp.moveaxis(idx, 0, -1)
     if k_eff < k:
         # Fewer refs than k: repeat the nearest neighbor. Interpolation-wise
         # this matches the CUDA kernels' near-zero weights for missing slots.

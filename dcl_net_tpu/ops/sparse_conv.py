@@ -36,31 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _window_sum(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
-    """Sliding-window sum over the 3 spatial dims of [B, D0, D1, D2, C].
-
-    Implemented as a separable box filter (shifted adds per axis + strided
-    slice) instead of lax.reduce_window: sum-pooling is separable, the shifted
-    adds are pure VPU work, and — unlike reduce_window, whose generic
-    linearization path failed inside the full model graph — this is
-    unconditionally differentiable.
-    """
-    for axis in (1, 2, 3):
-        pad_widths = [(0, 0)] * x.ndim
-        pad_widths[axis] = (padding, padding)
-        xp = jnp.pad(x, pad_widths)
-        size = xp.shape[axis]
-        out_len = size - kernel + 1
-        acc = None
-        for o in range(kernel):
-            sl = jax.lax.slice_in_dim(xp, o, o + out_len, axis=axis)
-            acc = sl if acc is None else acc + sl
-        if stride > 1:
-            acc = jax.lax.slice_in_dim(acc, 0, acc.shape[axis], stride=stride, axis=axis)
-        x = acc
-    return x
-
-
 def _conv_window_sum(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     """Window sum via strided depthwise conv with a ones kernel.
 
@@ -140,7 +115,7 @@ def sparse_max_pool(
         window_strides=(1, stride, stride, stride, 1),
         padding=[(0, 0)] + [(padding, padding)] * 3 + [(0, 0)],
     )
-    cnt = _window_sum(m[..., None], kernel, stride, padding)[..., 0]
+    cnt = _conv_window_sum(m[..., None], kernel, stride, padding)[..., 0]
     new_mask = (cnt > 0).astype(mask.dtype)
     return jnp.where(new_mask[..., None] > 0, pooled, 0.0), new_mask
 

@@ -22,8 +22,11 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-MODE_FIRST = 1
-MODE_LAST = 2
+# reference voxelize.cpp:51: "0=guaranteed unique 1=last item(overwrite)
+# 2=first item(keep) 3=sum, 4=mean"
+MODE_UNIQUE = 0
+MODE_LAST = 1
+MODE_FIRST = 2
 MODE_SUM = 3
 MODE_MEAN = 4
 
@@ -65,7 +68,8 @@ def voxelize_dense(
       feats: [B, N, C] per-point features.
       voxel_idx: [B, N, 3] int voxel indices (must lie inside the grid).
       grid_size: static (Dz, Dy, Dx) == voxel_num_limit.
-      mode: MODE_SUM or MODE_MEAN (DCL-Net uses mean, cfg.voxelization_mode=4).
+      mode: 0=unique, 1=last, 2=first, 3=sum, 4=mean — full parity with
+        reference voxelize.cpp:51 (DCL-Net uses mean, cfg.voxelization_mode=4).
       point_mask: optional [B, N] bool; False points are ignored.
 
     Returns:
@@ -74,6 +78,7 @@ def voxelize_dense(
     """
     b, n, c = feats.shape
     d0, d1, d2 = grid_size
+    g = d0 * d1 * d2
     lin = (
         voxel_idx[..., 0] * (d1 * d2) + voxel_idx[..., 1] * d2 + voxel_idx[..., 2]
     )  # [B, N]
@@ -83,15 +88,37 @@ def voxelize_dense(
         feats = feats * m[..., None]
         ones = ones * m
         # park masked points in voxel 0 contribution-free (already zeroed)
-    flat_feats = jnp.zeros((b, d0 * d1 * d2, c), dtype=feats.dtype)
-    flat_count = jnp.zeros((b, d0 * d1 * d2), dtype=feats.dtype)
+    flat_count = jnp.zeros((b, g), dtype=feats.dtype)
     batch_ids = jnp.arange(b, dtype=lin.dtype)[:, None].repeat(n, axis=1)
-    flat_feats = flat_feats.at[batch_ids, lin].add(feats)
     flat_count = flat_count.at[batch_ids, lin].add(ones)
-    if mode == MODE_MEAN:
-        flat_feats = flat_feats / jnp.maximum(flat_count, 1.0)[..., None]
-    elif mode != MODE_SUM:
-        raise NotImplementedError(f"voxelization mode {mode} not supported in dense path")
+
+    if mode in (MODE_SUM, MODE_MEAN, MODE_UNIQUE):
+        # mode 0 (guaranteed unique) is sum with <=1 point per voxel
+        flat_feats = jnp.zeros((b, g, c), dtype=feats.dtype)
+        flat_feats = flat_feats.at[batch_ids, lin].add(feats)
+        if mode == MODE_MEAN:
+            flat_feats = flat_feats / jnp.maximum(flat_count, 1.0)[..., None]
+    elif mode in (MODE_FIRST, MODE_LAST):
+        # deterministic winner per voxel: the lowest (first) / highest (last)
+        # point index — a scatter-min/max of indices followed by one gather,
+        # matching the CPU hash-map's keep/overwrite semantics
+        # (reference voxelize.cpp:127-138)
+        pid = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :], (b, n))
+        if point_mask is not None:
+            dead = ~point_mask.astype(bool)
+            pid = jnp.where(dead, n if mode == MODE_FIRST else -1, pid)
+        if mode == MODE_FIRST:
+            win = jnp.full((b, g), n, jnp.int32).at[batch_ids, lin].min(pid)
+            has = win < n
+        else:
+            win = jnp.full((b, g), -1, jnp.int32).at[batch_ids, lin].max(pid)
+            has = win >= 0
+        gathered = jnp.take_along_axis(
+            feats, jnp.clip(win, 0, n - 1)[..., None], axis=1
+        )
+        flat_feats = jnp.where(has[..., None], gathered, 0.0)
+    else:
+        raise NotImplementedError(f"voxelization mode {mode}")
     grid = flat_feats.reshape(b, d0, d1, d2, c)
     count = flat_count.reshape(b, d0, d1, d2)
     return grid, count

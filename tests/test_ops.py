@@ -454,3 +454,58 @@ def test_pallas_interp_mode_grad_matches_exact_end_to_end(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4
         )
+
+
+def test_voxelize_modes_first_last_unique_oracle(rng):
+    """Modes 0/1/2 (unique / last-overwrite / first-keep) vs a numpy oracle —
+    full surface parity with reference voxelize.cpp:51,119-138."""
+    b, n, c, d = 2, 32, 4, 4
+    feats = rng.randn(b, n, c).astype(np.float32)
+    vidx = rng.randint(0, d, size=(b, n, 3))
+    mask = rng.rand(b, n) > 0.2
+
+    def oracle(mode):
+        grid = np.zeros((b, d, d, d, c), np.float32)
+        seen = np.zeros((b, d, d, d), bool)
+        order = range(n) if mode == 2 else range(n - 1, -1, -1)  # first/last
+        for bi in range(b):
+            for pi in order:
+                if not mask[bi, pi]:
+                    continue
+                i, j, k = vidx[bi, pi]
+                if not seen[bi, i, j, k]:
+                    grid[bi, i, j, k] = feats[bi, pi]
+                    seen[bi, i, j, k] = True
+        return grid
+
+    for mode in (1, 2):
+        grid, cnt = voxelize_dense(
+            jnp.asarray(feats), jnp.asarray(vidx), (d, d, d), mode=mode,
+            point_mask=jnp.asarray(mask),
+        )
+        np.testing.assert_allclose(np.asarray(grid), oracle(mode), atol=1e-6,
+                                   err_msg=f"mode {mode}")
+        # counts are occupancy counts regardless of mode
+        assert (np.asarray(cnt) > 0).sum() == (oracle(mode) != 0).any(-1).sum()
+
+    # mode 0: caller guarantees unique voxels; equals first/last/sum then
+    uni_idx = np.stack([np.unravel_index(
+        rng.choice(d ** 3, n, replace=False), (d, d, d)) for _ in range(b)],
+    ).transpose(0, 2, 1).astype(np.int32)
+    g0, _ = voxelize_dense(jnp.asarray(feats), jnp.asarray(uni_idx), (d, d, d), mode=0)
+    g1, _ = voxelize_dense(jnp.asarray(feats), jnp.asarray(uni_idx), (d, d, d), mode=1)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-6)
+
+
+def test_knn_large_k_matches_sorted(rng):
+    """k>8 runs the scanned iterated-argmin path (the reference knn supports
+    k<=200, libs/pointnet_lib/pointnet2_utils.py:78-108) — no lax.top_k."""
+    q = rng.randn(2, 10, 3).astype(np.float32)
+    r = rng.randn(2, 60, 3).astype(np.float32)
+    d2, idx = knn(20, jnp.asarray(q), jnp.asarray(r))
+    full = ((q[:, :, None] - r[:, None]) ** 2).sum(-1)
+    expect = np.sort(full, axis=-1)[:, :, :20]
+    np.testing.assert_allclose(np.asarray(d2), expect, rtol=1e-4, atol=1e-5)
+    # indices consistent with distances
+    take = np.take_along_axis(full, np.asarray(idx), axis=-1)
+    np.testing.assert_allclose(take, expect, rtol=1e-4, atol=1e-5)
