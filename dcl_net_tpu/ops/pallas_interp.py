@@ -104,6 +104,12 @@ def _run_fwd(points, centers, feats, mask):
     v, c = feats.shape[1], feats.shape[2]
     tiles = n // _QUERY_TILE
     assert n % _QUERY_TILE == 0, f"N={n} must be a multiple of {_QUERY_TILE}"
+    # the kernels are written for f32 blocks; cast at the boundary (callers
+    # may run the feature path in bf16)
+    points = points.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    feats = feats.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
     pts_t = jnp.swapaxes(points, 1, 2)                 # [B, 3, N]
     ctr_t = jnp.swapaxes(centers, 1, 2)                # [B, 3, V]
     out, w, idx = pl.pallas_call(
@@ -135,14 +141,16 @@ def _run_fwd(points, centers, feats, mask):
 
 @jax.custom_vjp
 def pallas_nn_interpolate(points, centers, feats, mask):
-    """Fused 3-NN interpolation: [B,N,3] x ([B,V,3],[B,V,C],[B,V]) -> [B,N,C]."""
+    """Fused 3-NN interpolation: [B,N,3] x ([B,V,3],[B,V,C],[B,V]) -> [B,N,C].
+
+    Output dtype follows `feats` (the kernel computes in f32 internally)."""
     out, _, _ = _run_fwd(points, centers, feats, mask)
-    return out
+    return out.astype(feats.dtype)
 
 
 def _vjp_fwd(points, centers, feats, mask):
     out, w, idx = _run_fwd(points, centers, feats, mask)
-    return out, (w, idx, feats.shape)
+    return out.astype(feats.dtype), (w, idx, feats.shape)
 
 
 def _vjp_bwd(res, g):
@@ -150,6 +158,8 @@ def _vjp_bwd(res, g):
     b, v, c = feats_shape
     n = w.shape[2]
     tiles = n // _QUERY_TILE
+    out_dtype = g.dtype  # == feats dtype (the forward casts its output)
+    g = g.astype(jnp.float32)
     dfeats = pl.pallas_call(
         _bwd_kernel,
         grid=(b, tiles),
@@ -165,7 +175,7 @@ def _vjp_bwd(res, g):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(g, w, idx)
-    return None, None, dfeats, None
+    return None, None, dfeats.astype(out_dtype), None
 
 
 pallas_nn_interpolate.defvjp(_vjp_fwd, _vjp_bwd)

@@ -87,10 +87,17 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
 
     if dtype is None:
         name = cfg.model.get("compute_dtype")
-        if name:
-            import jax.numpy as jnp
+        if name is None:
+            # Default on TPU: bf16 feature compute (+5% eval, 1.75x train
+            # step; pose drift vs f32 bounded ~20x under metric thresholds,
+            # tests/test_model.py). Geometry/SVD stays f32 HIGHEST either
+            # way. Opt out with model.compute_dtype: float32.
+            import jax
 
-            dtype = {"bfloat16": jnp.bfloat16, "float32": None}[str(name)]
+            name = "bfloat16" if jax.default_backend() == "tpu" else "float32"
+        import jax.numpy as jnp
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None}[str(name)]
     model_cls = MODELS.get(cfg.model.get("name", cfg.get("model_name", "DCL_Net")))
     m = cfg.model
     kwargs = {}

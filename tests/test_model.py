@@ -211,3 +211,42 @@ def test_template_cache_equivalence():
         np.testing.assert_allclose(
             np.asarray(full[k]), np.asarray(fused[k]), atol=1e-6
         )
+
+
+def test_bf16_compute_pose_drift_bounded():
+    """model.compute_dtype=bfloat16 (the fast path: +5% eval, 1.75x train
+    step on v5e, docs/PERF.md) must stay metrically indistinguishable from
+    f32: the geometry/SVD path is pinned to f32 HIGHEST, so only feature
+    compute varies. Bounds are ~20x below the ADD-S thresholds (2cm / 0.1d)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet
+
+    grid, unit, n = (16, 16, 16), (0.024, 0.024, 0.024), 128
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
+        seed=5,
+    )
+    batch = jax.tree.map(jnp.asarray, make_batch([ds[i] for i in range(4)]).to_dict())
+    outs = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        model = DCLNet(
+            unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n, n_tmp=n,
+            capacities=(256, 64, 16, 8), dtype=dt,
+        )
+        v = model.init(jax.random.PRNGKey(0), batch, train=False)
+        outs[name] = model.apply(v, batch, train=False)
+
+    ra = np.asarray(outs["f32"]["rot_pred"])
+    rb = np.asarray(outs["bf16"]["rot_pred"])
+    ta = np.asarray(outs["f32"]["trans_pred"])
+    tb = np.asarray(outs["bf16"]["trans_pred"])
+    trace = np.clip((np.einsum("bij,bij->b", ra, rb) - 1.0) / 2.0, -1.0, 1.0)
+    rot_deg = np.degrees(np.arccos(trace))
+    trans_mm = np.linalg.norm(ta - tb, axis=1) * 1000.0
+    assert rot_deg.max() < 1.0, rot_deg
+    assert trans_mm.max() < 0.5, trans_mm
