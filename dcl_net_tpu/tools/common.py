@@ -101,6 +101,9 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
     model_cls = MODELS.get(cfg.model.get("name", cfg.get("model_name", "DCL_Net")))
     m = cfg.model
     kwargs = {}
+    caps = m.get("capacities")
+    if caps:
+        kwargs["capacities"] = tuple(int(c) for c in caps)
     mode = m.get("interp_mode", interp_mode)
     if mode is None:
         # Default: the fused Pallas interp path (custom-VJP, so valid for

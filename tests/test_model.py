@@ -250,3 +250,41 @@ def test_bf16_compute_pose_drift_bounded():
     trans_mm = np.linalg.norm(ta - tb, axis=1) * 1000.0
     assert rot_deg.max() < 1.0, rot_deg
     assert trans_mm.max() < 0.5, trans_mm
+
+
+def test_default_capacities_have_margin_over_real_occupancy():
+    """The default per-level extraction budgets must hold >=2x the pyramid
+    occupancy actually produced at the production shapes (1024-pt surface
+    clouds, 64^3 grid) — guards the right-sized capacities in DCLNet against
+    model or data changes that would silently overflow them."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet
+    from dcl_net_tpu.ops.voxelize import voxelize_dense
+
+    grid, unit, n = (64, 64, 64), (0.006, 0.006, 0.006), 1024
+    ds = SyntheticPoseDataset(
+        n_objects=4, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
+        seed=0,
+    )
+    batch = jax.tree.map(jnp.asarray, make_batch([ds[i] for i in range(4)]).to_dict())
+    model = DCLNet(unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n, n_tmp=n)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def occ(mdl, bb, branch):
+        g, cnt = voxelize_dense(bb[branch]["feats"], bb[branch]["voxel_idx"], grid, mode=4)
+        mask = (cnt > 0).astype(bb[branch]["feats"].dtype)
+        backbone = mdl.backbone_inp if branch == "inp" else mdl.backbone_tmp
+        return [jnp.max(jnp.sum(m, axis=(1, 2, 3))) for _, m in backbone(g, mask, False)]
+
+    for branch in ("inp", "tmp"):
+        maxima = model.apply(variables, batch, branch, method=occ)
+        for level, mx in enumerate(maxima):
+            cap = model.capacities[level]
+            assert 2 * float(mx) <= cap or cap >= np.prod(grid) // (8 ** (level + 1)), (
+                f"{branch} level {level}: occupancy {float(mx)} vs capacity {cap}"
+            )
