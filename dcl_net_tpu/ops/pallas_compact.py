@@ -33,10 +33,21 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _make_kernel(g: int, cap: int, chunk: int):
-    def kernel(mask_ref, vals_ref, out_ref):
-        # blocks: mask [1, 1, G], vals [1, G, C+2], out [1, cap+chunk, C+2]
+def _make_kernel(g: int, cap: int, chunk: int, exact: bool):
+    """exact=True runs the one-hot copy matmul at HIGHEST precision (needed
+    when the value channels carry full-f32 payloads); exact=False uses the
+    default MXU path (6x fewer passes) — safe when every value channel is
+    bf16-representable (bf16-compute features + the split lin hi/lo index
+    channels), because one-hot inputs are exact in bf16 and accumulation is
+    f32 either way."""
+    precision = jax.lax.Precision.HIGHEST if exact else None
+
+    def kernel(mask_ref, feats_ref, aux_ref, out_ref, out_aux_ref):
+        # blocks: mask [1, 1, G], feats [1, G, C] (original dtype),
+        # aux [1, G, 8] (lin_hi, lin_lo, 1, 0...; shared across batch),
+        # out [1, cap+chunk, C] f32, out_aux [1, cap+chunk, 8] f32
         out_ref[:] = jnp.zeros_like(out_ref)
+        out_aux_ref[:] = jnp.zeros_like(out_aux_ref)
         k = chunk
         lt = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) <=
               jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(jnp.float32)
@@ -44,16 +55,27 @@ def _make_kernel(g: int, cap: int, chunk: int):
 
         def body(c, offset):
             m = mask_ref[0, 0, pl.ds(c * k, k)]
-            m2 = m[None, :]
-            ranks = jnp.dot(m2, lt, preferred_element_type=jnp.float32)
-            ranks_i = ranks.astype(jnp.int32) - 1
-            onehot = ((ranks_i == out_slot) & (m2 > 0)).astype(jnp.float32)
-            vals = vals_ref[0, pl.ds(c * k, k), :]
-            comp = jnp.dot(onehot, vals, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            offset = pl.multiple_of(jnp.minimum(offset, cap), 8)
-            out_ref[0, pl.ds(offset, k), :] = comp
             count = jnp.sum(m).astype(jnp.int32)
+            offset = pl.multiple_of(jnp.minimum(offset, cap), 8)
+
+            # occupancy is ~2% at production shapes, so most chunks carry no
+            # voxels at all — skip their matmuls and stores entirely
+            @pl.when(count > 0)
+            def _():
+                m2 = m[None, :]
+                # rank accumulation is f32 regardless of input precision
+                ranks = jnp.dot(m2, lt, preferred_element_type=jnp.float32)
+                ranks_i = ranks.astype(jnp.int32) - 1
+                onehot = ((ranks_i == out_slot) & (m2 > 0)).astype(jnp.float32)
+                vals = feats_ref[0, pl.ds(c * k, k), :].astype(jnp.float32)
+                comp = jnp.dot(onehot, vals, preferred_element_type=jnp.float32,
+                               precision=precision)
+                aux = aux_ref[0, pl.ds(c * k, k), :]
+                comp_aux = jnp.dot(onehot, aux, preferred_element_type=jnp.float32,
+                                   precision=precision)
+                out_ref[0, pl.ds(offset, k), :] = comp
+                out_aux_ref[0, pl.ds(offset, k), :] = comp_aux
+
             return offset + ((count + 7) // 8) * 8
         jax.lax.fori_loop(0, g // k, body, jnp.int32(0))
 
@@ -71,35 +93,53 @@ def _run_fwd(
     assert g % chunk == 0, f"grid size {g} must be a multiple of {chunk}"
     cap = ((capacity + 7) // 8) * 8
 
-    flat_feats = feats.reshape(b, g, c)
+    flat_feats = feats.reshape(b, g, c)  # original dtype: no f32 copy in HBM
     flat_mask = mask.reshape(b, g).astype(jnp.float32)
-    lin = jnp.broadcast_to(
-        jnp.arange(g, dtype=jnp.float32)[None, :, None], (b, g, 1)
-    )
-    vals = jnp.concatenate(
-        [flat_feats.astype(jnp.float32), lin, jnp.ones((b, g, 1), jnp.float32)],
+    # aux channels, shared across the batch via the BlockSpec index map (one
+    # [1, G, 8] array instead of [B, G, k] HBM temps): the linear index is
+    # split into bf16-exact halves (each <= max(G//128, 127) <= 255 for
+    # G <= 32768) so the default-precision MXU copy reproduces it exactly.
+    lin_i = jnp.arange(g, dtype=jnp.int32)
+    aux = jnp.stack(
+        [
+            (lin_i // 128).astype(jnp.float32),
+            (lin_i % 128).astype(jnp.float32),
+            jnp.ones((g,), jnp.float32),
+        ] + [jnp.zeros((g,), jnp.float32)] * 5,
         axis=-1,
-    )  # [B, G, C+2]
+    )[None]  # [1, G, 8]
+    # default MXU precision truncates the copied values to bf16: exact when
+    # the features themselves are bf16-representable (bf16 compute dtype),
+    # otherwise run the copy at HIGHEST. lin_hi exceeds bf16's exact-integer
+    # range (255) for g > 32768 — force exact there too.
+    exact = (feats.dtype != jnp.bfloat16) or g > 32768
 
-    out = pl.pallas_call(
-        _make_kernel(g, cap, chunk),
+    out, out_aux = pl.pallas_call(
+        _make_kernel(g, cap, chunk, exact),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1, g), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, g, c + 2), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, g, c), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, g, 8), lambda bi: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, cap + chunk, c + 2), lambda bi: (bi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, cap + chunk, c + 2), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, cap + chunk, c), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, cap + chunk, 8), lambda bi: (bi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cap + chunk, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, cap + chunk, 8), jnp.float32),
+        ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(flat_mask[:, None, :], vals)
+    )(flat_mask[:, None, :], flat_feats, aux)
 
-    out = out[:, :capacity]
-    vfeats = out[..., :c].astype(feats.dtype)
-    lin_idx = out[..., c].astype(jnp.int32)
-    vmask = (out[..., c + 1] > 0.5).astype(mask.dtype)
+    vfeats = out[:, :capacity].astype(feats.dtype)
+    out_aux = out_aux[:, :capacity]
+    lin_idx = (out_aux[..., 0] * 128.0 + out_aux[..., 1]).astype(jnp.int32)
+    vmask = (out_aux[..., 2] > 0.5).astype(mask.dtype)
     i0 = lin_idx // (d1 * d2)
     rem = lin_idx % (d1 * d2)
     coords = jnp.stack([i0, rem // d2, rem % d2], axis=-1).astype(jnp.int32)
@@ -107,15 +147,20 @@ def _run_fwd(
     return coords, vfeats, vmask
 
 
-def _make_bwd_kernel(g: int, cap: int, chunk: int):
+def _make_bwd_kernel(g: int, cap: int, chunk: int, exact: bool):
     """Mirror of the forward loop: chunk c's compacted rows live at the same
     running offset, so its input-grid gradient is the TRANSPOSED one-hot
     matmul of the output-cotangent slice at that offset. Alignment-gap rows
     (zero one-hot columns) and rows beyond `capacity` (zero-padded cotangent)
-    contribute nothing, exactly matching the forward's selection."""
+    contribute nothing, exactly matching the forward's selection.
+
+    exact: HIGHEST-precision scatter of f32 cotangents (f32 training);
+    default MXU precision otherwise (bf16 training — cotangents are bf16)."""
+    precision = jax.lax.Precision.HIGHEST if exact else None
 
     def kernel(mask_ref, dout_ref, dvals_ref):
         # blocks: mask [1, 1, G], dout [1, cap+chunk, C], dvals [1, G, C]
+        dvals_ref[:] = jnp.zeros_like(dvals_ref)
         k = chunk
         lt = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) <=
               jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(jnp.float32)
@@ -123,20 +168,24 @@ def _make_bwd_kernel(g: int, cap: int, chunk: int):
 
         def body(c, offset):
             m = mask_ref[0, 0, pl.ds(c * k, k)]
-            m2 = m[None, :]
-            ranks = jnp.dot(m2, lt, preferred_element_type=jnp.float32)
-            ranks_i = ranks.astype(jnp.int32) - 1
-            onehot = ((ranks_i == out_slot) & (m2 > 0)).astype(jnp.float32)
-            offset = pl.multiple_of(jnp.minimum(offset, cap), 8)
-            gs = dout_ref[0, pl.ds(offset, k), :]
-            # dvals[j] = sum_s onehot[s, j] * gs[s]  (contract the slot axis)
-            dvals = jax.lax.dot_general(
-                onehot, gs, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            dvals_ref[0, pl.ds(c * k, k), :] = dvals
             count = jnp.sum(m).astype(jnp.int32)
+            offset = pl.multiple_of(jnp.minimum(offset, cap), 8)
+
+            @pl.when(count > 0)  # empty chunks keep their zero gradient
+            def _():
+                m2 = m[None, :]
+                ranks = jnp.dot(m2, lt, preferred_element_type=jnp.float32)
+                ranks_i = ranks.astype(jnp.int32) - 1
+                onehot = ((ranks_i == out_slot) & (m2 > 0)).astype(jnp.float32)
+                gs = dout_ref[0, pl.ds(offset, k), :]
+                # dvals[j] = sum_s onehot[s, j] * gs[s] (contract the slot axis)
+                dvals = jax.lax.dot_general(
+                    onehot, gs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+                dvals_ref[0, pl.ds(c * k, k), :] = dvals
+
             return offset + ((count + 7) // 8) * 8
         jax.lax.fori_loop(0, g // k, body, jnp.int32(0))
 
@@ -154,7 +203,7 @@ def _run_bwd(d_vfeats, mask, feats_shape, feats_dtype, capacity):
     dout = dout.at[:, :capacity].set(d_vfeats.astype(jnp.float32))
 
     dflat = pl.pallas_call(
-        _make_bwd_kernel(g, cap, chunk),
+        _make_bwd_kernel(g, cap, chunk, exact=d_vfeats.dtype != jnp.bfloat16),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1, g), lambda bi: (bi, 0, 0)),
