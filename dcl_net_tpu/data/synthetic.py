@@ -122,6 +122,23 @@ class SyntheticPoseDataset:
             "radius": np.float32(np.linalg.norm(cad, axis=1).max()),
         }
 
+    def template_bank(self) -> Dict[str, np.ndarray]:
+        """Per-class template inputs for banked-template training
+        (cfg.train_template_bank). Note synthetic __getitem__ resamples the
+        template per sample, so the banked inputs are a fixed per-class
+        variant rather than bit-identical to per-sample templates."""
+        feats, vidx = [], []
+        for obj in range(len(self.cad_points)):
+            rng = np.random.RandomState(obj)
+            sel = rng.choice(len(self.cad_points[obj]), self.n_points,
+                             replace=False)
+            pts = self.cad_points[obj][sel]
+            col = self.cad_colors[obj][sel]
+            ones = np.ones((self.n_points, 1), np.float32)
+            feats.append(np.concatenate([ones, col, pts], -1))
+            vidx.append(self._voxel_index(pts))
+        return {"feats": np.stack(feats), "voxel_idx": np.stack(vidx)}
+
     def model_points(self, obj: int, n: int, seed: int = 0) -> np.ndarray:
         """CAD cloud for eval metrics (like points.xyz in the reference)."""
         rng = np.random.RandomState(seed)

@@ -117,6 +117,22 @@ class YCBVTrainDataset:
     def __len__(self):
         return len(self.list)
 
+    def template_bank(self):
+        """Per-class template inputs {feats [C,M,7], voxel_idx [C,M,3]}.
+        Training templates are per-class constants (CAD sampled once at
+        init, like the reference :59-76), so banked-template training
+        (cfg.train_template_bank) encodes each class once per step."""
+        feats, vidx = [], []
+        for c in sorted(self.pc_cad):
+            pts = (self.pc_cad[c] / 1000.0).astype(np.float32)
+            f, v = pp.assemble_features(
+                pts, self.rgb_cad[c].astype(np.float32),
+                self.unit, self.total, self.limit,
+            )
+            feats.append(f)
+            vidx.append(v)
+        return {"feats": np.stack(feats), "voxel_idx": np.stack(vidx)}
+
     def _intrinsics(self, path: str) -> Dict[str, float]:
         # videos >= 60 use the second camera (reference :113-122)
         if path[:8] != "data_syn" and int(path[5:9]) >= 60:

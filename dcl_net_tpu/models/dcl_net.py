@@ -240,6 +240,29 @@ class DCLNet(nn.Module):
         tmp = self.encode_template(batch, train)
         return self.fuse(obs, tmp, train)
 
+    def forward_with_template_bank(
+        self, batch: Dict[str, Any], bank: Dict[str, jnp.ndarray],
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Forward that encodes the per-class template bank ONCE and gathers
+        per instance — the training-side analogue of the evaluator's
+        template-feature cache (templates are per-class constants in the
+        reference training pipeline too: the CAD cloud is sampled once at
+        dataset init, reference YCBV/dataloader_train_YCBV.py:59-76).
+
+        Exact when batch classes are distinct; with duplicate classes the
+        template-branch BN batch statistics weight each CLASS equally instead
+        of each instance — statistically equivalent, not bit-matching, hence
+        opt-in for training (cfg.train_template_bank).
+
+        bank: {"feats": [C, M, 7], "voxel_idx": [C, M, 3]}.
+        """
+        obs = self.encode_observed(batch, train)
+        tmp_all = self.encode_template({"tmp": bank}, train)
+        cls = batch["labels"]["obj_idx"]
+        tmp = jax.tree.map(lambda x: x[cls], tmp_all)
+        return self.fuse(obs, tmp, train)
+
 
 def dcl_losses(pred: Dict[str, jnp.ndarray], batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     """Stage-1 losses (reference models/DCL_Net.py:261-303).

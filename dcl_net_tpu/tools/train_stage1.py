@@ -53,9 +53,21 @@ def main(argv=None):
             f"data-parallel over {mesh.size} devices "
             f"(per-device batch {int(cfg.hyper_dataloader_train.bs) // mesh.size})"
         )
+    # opt-in: encode the per-class template bank once per step instead of
+    # per instance (exact for distinct classes; template-branch BN batch
+    # stats weight classes instead of instances — see
+    # DCLNet.forward_with_template_bank)
+    bank = None
+    if cfg.get("train_template_bank") and hasattr(dataset, "template_bank"):
+        bank = dataset.template_bank()
+        logger.warning(
+            f"banked-template training: {bank['feats'].shape[0]} classes "
+            f"encoded once per step"
+        )
     solver = Solver(
         model, dcl_losses, cfg, loader, logger=logger,
         checkpoint_dir=cfg.log_dir, writer=writer, mesh=mesh,
+        template_bank=bank,
     )
 
     first_batch = next(iter(loader))

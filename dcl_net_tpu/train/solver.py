@@ -150,7 +150,8 @@ def build_optimizer(cfg: Config, steps_per_epoch: int = 1) -> Tuple[optax.Gradie
 # ---------------------------------------------------------------------------
 # Train step factory
 # ---------------------------------------------------------------------------
-def make_train_step(model, tx, loss_fn, skip_nonfinite: bool = True) -> Callable:
+def make_train_step(model, tx, loss_fn, skip_nonfinite: bool = True,
+                    template_bank=None) -> Callable:
     """Build the jittable train step: forward, loss, grad, clip, update.
 
     loss_fn(pred, batch) -> dict with "loss_all" (reference contract,
@@ -160,14 +161,28 @@ def make_train_step(model, tx, loss_fn, skip_nonfinite: bool = True) -> Callable
     (params, opt state, batch stats) is skipped and metrics carry
     skipped_nonfinite=1 — one bad batch cannot poison a long run (a guard
     the reference lacks; a torch run dies or silently diverges instead).
+
+    template_bank: optional {"feats": [C, M, 7], "voxel_idx": [C, M, 3]}
+    per-class template inputs — the template branch is encoded once per
+    class per step instead of once per instance
+    (model.forward_with_template_bank).
     """
+    if template_bank is not None:
+        template_bank = jax.tree.map(jnp.asarray, template_bank)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def compute(params):
-            pred, mut = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"],
-            )
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if template_bank is not None:
+                pred, mut = model.apply(
+                    variables, batch, template_bank, train=True,
+                    mutable=["batch_stats"],
+                    method=model.forward_with_template_bank,
+                )
+            else:
+                pred, mut = model.apply(
+                    variables, batch, train=True, mutable=["batch_stats"],
+                )
             losses = loss_fn(pred, batch)
             return losses["loss_all"], (losses, mut["batch_stats"])
 
@@ -225,7 +240,8 @@ class Solver:
     def __init__(self, model, loss_fn, cfg: Config, loader, logger=None,
                  checkpoint_dir: Optional[str] = None, writer=None,
                  eval_fn: Optional[Callable] = None, mesh=None,
-                 step_builder: Optional[Callable] = None):
+                 step_builder: Optional[Callable] = None,
+                 template_bank=None):
         """eval_fn(state, epoch) -> dict of scalars; called every
         cfg.per_val epochs (reference Trainer.evaluate,
         tools/train_YCBV_stage2.py:205-222).
@@ -252,7 +268,8 @@ class Solver:
         steps_per_epoch = len(loader)
         self.tx, self.schedule = build_optimizer(cfg, steps_per_epoch)
         raw_step = (step_builder(self.tx) if step_builder
-                    else make_train_step(model, self.tx, loss_fn))
+                    else make_train_step(model, self.tx, loss_fn,
+                                         template_bank=template_bank))
         if mesh is not None:
             from dcl_net_tpu.parallel.mesh import make_parallel_train_step
 

@@ -236,3 +236,74 @@ def test_mid_epoch_resume_reproduces_uninterrupted_run(tmp_path):
     assert len(losses_c) == 5  # step 3 of epoch 0 + all 4 of epoch 1
 
     np.testing.assert_allclose(losses_b + losses_c, losses_a, rtol=1e-6)
+
+
+def test_banked_template_training_matches_plain_on_distinct_classes():
+    """With all batch classes distinct and the bank rows equal to the batch
+    templates, the banked-template step (encode once per class, gather) must
+    produce identical losses and gradients to the plain step."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.config import Config as Cfg
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet, dcl_losses
+    from dcl_net_tpu.train.solver import (
+        build_optimizer, init_train_state, make_train_step,
+    )
+
+    grid, unit, n = (16, 16, 16), (0.024, 0.024, 0.024), 64
+    ds = SyntheticPoseDataset(
+        n_objects=4, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
+        length=64, seed=0,
+    )
+    # one sample per class, ordered by class
+    picked, seen = [], set()
+    for i in range(64):
+        s = ds[i]
+        c = int(s["obj_idx"])
+        if c not in seen:
+            seen.add(c)
+            picked.append(s)
+        if len(seen) == 4:
+            break
+    picked.sort(key=lambda s: int(s["obj_idx"]))
+    batch = jax.tree.map(jnp.asarray, make_batch(picked).to_dict())
+    bank = {
+        "feats": batch["tmp"]["feats"],        # rows already in class order
+        "voxel_idx": batch["tmp"]["voxel_idx"],
+    }
+
+    model = DCLNet(unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n,
+                   n_tmp=n, capacities=(256, 64, 16, 8))
+    cfg = Cfg({"optimizer": {"type": "Adam", "lr": 1e-3}})
+    tx, _ = build_optimizer(cfg)
+    state = init_train_state(model, tx, batch)
+
+    # compare losses and RAW gradients (post-Adam params are sign-sensitive
+    # for near-zero gradients, amplifying reduction-order noise)
+    def loss_of(params, use_bank):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        if use_bank:
+            pred, mut = model.apply(
+                variables, batch, jax.tree.map(jnp.asarray, bank), train=True,
+                mutable=["batch_stats"],
+                method=model.forward_with_template_bank,
+            )
+        else:
+            pred, mut = model.apply(variables, batch, train=True,
+                                    mutable=["batch_stats"])
+        return dcl_losses(pred, batch)["loss_all"], mut["batch_stats"]
+
+    (l1, bs1), g1 = jax.jit(jax.value_and_grad(
+        lambda p: loss_of(p, False), has_aux=True))(state.params)
+    (l2, bs2), g2 = jax.jit(jax.value_and_grad(
+        lambda p: loss_of(p, True), has_aux=True))(state.params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
