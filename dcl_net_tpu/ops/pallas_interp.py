@@ -66,30 +66,37 @@ def _fwd_kernel(pts_ref, ctr_ref, feats_ref, mask_ref, out_ref, w_ref, idx_ref):
     recip = 1.0 / (d3 + 1e-8)
     weight = recip / jnp.sum(recip, axis=0, keepdims=True)
 
+    # fold the three weighted selections into ONE [T, V] matrix -> a single
+    # MXU dot instead of three (the neighbor indices are distinct, so the
+    # sum of weighted one-hots is exact)
     feats = feats_ref[0]                               # [V, C]
-    out = jnp.zeros(out_ref.shape[1:], jnp.float32)    # [T, C]
+    wmat = jnp.zeros((pts.shape[1], v), jnp.float32)   # [T, V]
     for k in range(3):
-        onehot = (col == idxs[k][:, None]).astype(jnp.float32)  # [T, V]
-        fk = jnp.dot(onehot, feats, preferred_element_type=jnp.float32)
-        out = out + fk * weight[k, :][:, None]
-    out_ref[0] = out
+        wmat = wmat + jnp.where(
+            col == idxs[k][:, None], weight[k, :][:, None], 0.0
+        )
+    out_ref[0] = jnp.dot(wmat, feats, preferred_element_type=jnp.float32)
     w_ref[0] = weight                                  # [3, T]
     idx_ref[0] = jnp.stack(idxs, axis=0)               # [3, T]
 
 
 def _bwd_kernel(g_ref, w_ref, idx_ref, dfeats_ref):
     # dfeats[v] = sum_t sum_k 1[idx[k,t]==v] * w[k,t] * g[t]
+    # = (sum_k weighted one-hot)^T @ g — one MXU dot, like the forward
     g = g_ref[0]                                       # [T, C]
     w = w_ref[0]                                       # [3, T]
     idx = idx_ref[0]                                   # [3, T]
     v = dfeats_ref.shape[1]
     colv = jax.lax.broadcasted_iota(jnp.int32, (g.shape[0], v), 1)
-    acc = jnp.zeros(dfeats_ref.shape[1:], jnp.float32)
+    wmat = jnp.zeros((g.shape[0], v), jnp.float32)     # [T, V]
     for k in range(3):
-        onehot = (colv == idx[k, :][:, None]).astype(jnp.float32)  # [T, V]
-        acc = acc + jnp.dot(
-            onehot.T, g * w[k, :][:, None], preferred_element_type=jnp.float32
+        wmat = wmat + jnp.where(
+            colv == idx[k, :][:, None], w[k, :][:, None], 0.0
         )
+    acc = jax.lax.dot_general(
+        wmat, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # [V, C]
     ti = pl.program_id(1)
 
     @pl.when(ti == 0)
