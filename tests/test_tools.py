@@ -43,6 +43,24 @@ def test_train_stage1_synthetic_smoke(tmp_path):
     ])
 
 
+def test_train_stage1_mesh_and_bank_smoke(tmp_path):
+    """CLI-level data parallelism (--n_devices 2 on the virtual CPU mesh)
+    combined with banked-template training — the full product path."""
+    from dcl_net_tpu.tools.train_stage1 import main
+
+    log_root = str(tmp_path / "log")
+    main([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--log_root", log_root, "--exp_id", "7",
+        "--n_devices", "2",
+        "--override", *SMALL_OVERRIDES, "train_template_bank=true",
+    ])
+    exp_dir = os.path.join(log_root, "DCL_Net_config_synthetic_smoke_id7")
+    assert os.path.isdir(os.path.join(exp_dir, "epoch_1"))
+    scalars = open(os.path.join(exp_dir, "scalars.jsonl")).read().strip().splitlines()
+    assert np.isfinite(json.loads(scalars[-1])["loss_all"])
+
+
 def test_stage2_train_synthetic_smoke(tmp_path):
     from dcl_net_tpu.tools.train_ycbv_stage2 import main as main2
 
