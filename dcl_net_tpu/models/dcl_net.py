@@ -94,13 +94,16 @@ class DCLNet(nn.Module):
     # Per-level occupied-voxel budgets for the padded sparse extraction.
     # Measured worst-case occupancy at the production shapes (1024-point
     # surface clouds, 64^3 grid) is ~700/300/190/64 per level (docs/PERF.md)
-    # — these defaults carry ~6x margin and are ~7% faster end to end than
-    # the absolute worst-case (8192, 2048, 512, 64) budgets, which remain
-    # configurable for adversarial inputs (uniformly scattered points can
-    # dilate to 8x1024 at level 0). Overflow degrades (drops highest-index
-    # voxels), never crashes.
+    # — these defaults carry ~3x margin, pose outputs are BIT-IDENTICAL to
+    # the 4096/8192 budgets on the bench workload (scripts/bench_caps.py),
+    # and the level-0 compaction kernel runs ~20% faster (its VMEM out block
+    # scales with the budget). Larger budgets remain configurable for
+    # adversarial inputs (uniformly scattered points can dilate to 8x1024 at
+    # level 0). Overflow degrades (drops highest-index voxels), never
+    # crashes, and is guarded by the >=2x occupancy-margin test
+    # (tests/test_model.py).
     # (levels 2/3 hold their ENTIRE 8^3/4^3 grids — no overflow possible)
-    capacities: Sequence[int] = (4096, 1024, 512, 64)
+    capacities: Sequence[int] = (2048, 1024, 512, 64)
     scale_list: Sequence[int] = (2, 4, 6, 8)  # reference quirk, DCL_Net.py:54
     interp_mode: str = "exact"
     dtype: Optional[jnp.dtype] = None  # compute dtype for the big matmuls

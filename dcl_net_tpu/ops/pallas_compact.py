@@ -2,17 +2,32 @@
 
 Replaces dense_to_sparse's `top_k` extraction (which full-sorts the
 occupancy row, ~16 ms at 32^3/batch-32) plus its row gather (~9 ms) with an
-O(G) single pass: for each mask chunk, ranks are computed with a
-lower-triangular ones matmul (cumsum is not lowerable on this backend),
-occupied rows are compacted through an exact one-hot matmul
-(precision=HIGHEST — default MXU bf16 truncation corrupts values), and the
-block is stored at a sublane-aligned running offset (unaligned dynamic row
-stores miscompile). Alignment gaps hold all-zero rows which the appended
-validity channel marks invalid.
+O(G) pass: for each mask chunk, occupied rows are compacted through an exact
+one-hot matmul and the block is stored at a sublane-aligned chunk offset
+(unaligned dynamic row stores miscompile). Alignment gaps hold all-zero rows
+which the appended validity channel marks invalid.
+
+Everything the kernel needs besides the copy itself is precomputed OUTSIDE
+by plain XLA ([B, n_chunks]/[B, G]-sized reductions, negligible):
+  - chunk offsets (exclusive prefix sum of 8-aligned per-chunk counts),
+    fed through scalar prefetch, so the grid iterates chunks with no serial
+    offset dependence and Mosaic pipelines the (batch, chunk) grid;
+  - chunk-local exclusive ranks (a cumsum — not lowerable INSIDE the kernel
+    on this backend, cheap outside), so the kernel builds its one-hot from
+    one iota compare instead of a lower-triangular ones matmul whose M=1
+    shape was pure MXU latency.
+The value channels and the aux channels (linear index + validity) ride ONE
+fused [chunk, C+8] copy matmul (in-VMEM concat): C+8 still fits the same
+number of 128-lane MXU passes as C alone, so the old separate aux matmul
+(a full extra pass set) is free now. Serial-fori form of this kernel
+measured ~28 ms at B=256 level-0 shapes; this form ~13 ms.
 
 Output rows appear in linear-index order (same deterministic order as the
 top_k path), interleaved with <=7 zero rows per chunk boundary — consumers
 must select by the validity channel, which every masked op here already does.
+TPU grid steps execute in row-major order, so a later chunk's full-block
+store overwrites only the zero tail of the previous chunk's store, exactly
+as the serial loop did.
 """
 
 from __future__ import annotations
@@ -26,14 +41,35 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 512
+import os
+
+_CHUNK = int(os.environ.get("DCLX_COMPACT_CHUNK", 512))
 
 
 def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _make_kernel(g: int, cap: int, chunk: int, exact: bool):
+def _chunk_offsets(flat_mask: jnp.ndarray, chunk: int, cap: int):
+    """Per-chunk occupancy counts and exclusive 8-aligned prefix offsets.
+
+    Plain XLA reductions ([B, n_chunks]-sized, negligible next to the kernel);
+    reproduces the serial loop's running-offset arithmetic exactly:
+    offset_c = min(sum_{c'<c} align8(count_c'), cap), already 8-aligned
+    because cap is."""
+    b, g = flat_mask.shape
+    n_chunks = g // chunk
+    by_chunk = flat_mask.reshape(b, n_chunks, chunk)
+    counts = by_chunk.sum(-1).astype(jnp.int32)
+    pad8 = ((counts + 7) // 8) * 8
+    offsets = jnp.minimum(jnp.cumsum(pad8, axis=1) - pad8, cap)
+    # chunk-local exclusive rank of every cell (occupied cells only are
+    # meaningful); f32 is exact for any chunk <= 2^24
+    ranks = (jnp.cumsum(by_chunk, axis=-1) - by_chunk).reshape(b, g)
+    return counts, offsets, ranks
+
+
+def _make_kernel(chunk: int, exact: bool):
     """exact=True runs the one-hot copy matmul at HIGHEST precision (needed
     when the value channels carry full-f32 payloads); exact=False uses the
     default MXU path (6x fewer passes) — safe when every value channel is
@@ -42,42 +78,37 @@ def _make_kernel(g: int, cap: int, chunk: int, exact: bool):
     f32 either way."""
     precision = jax.lax.Precision.HIGHEST if exact else None
 
-    def kernel(mask_ref, feats_ref, aux_ref, out_ref, out_aux_ref):
-        # blocks: mask [1, 1, G], feats [1, G, C] (original dtype),
-        # aux [1, G, 8] (lin_hi, lin_lo, 1, 0...; shared across batch),
-        # out [1, cap+chunk, C] f32, out_aux [1, cap+chunk, 8] f32
-        out_ref[:] = jnp.zeros_like(out_ref)
-        out_aux_ref[:] = jnp.zeros_like(out_aux_ref)
+    def kernel(counts_ref, offsets_ref, mask_ref, ranks_ref, feats_ref,
+               aux_ref, out_ref):
+        # scalar prefetch: counts/offsets [B, n_chunks] int32 (SMEM);
+        # blocks: mask/ranks [1, 1, chunk], feats [1, chunk, C] (original
+        # dtype), aux [1, chunk, 8] (lin_hi, lin_lo, 1, 0...; shared across
+        # batch), out [1, cap+chunk, C+8] f32 (revisited across the chunk
+        # axis of the grid; zeroed on the first step).
+        bi = pl.program_id(0)
+        ci = pl.program_id(1)
+
+        @pl.when(ci == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        count = counts_ref[bi, ci]
+        offset = pl.multiple_of(offsets_ref[bi, ci], 8)
         k = chunk
-        lt = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) <=
-              jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(jnp.float32)
-        out_slot = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
 
-        def body(c, offset):
-            m = mask_ref[0, 0, pl.ds(c * k, k)]
-            count = jnp.sum(m).astype(jnp.int32)
-            offset = pl.multiple_of(jnp.minimum(offset, cap), 8)
-
-            # occupancy is ~2% at production shapes, so most chunks carry no
-            # voxels at all — skip their matmuls and stores entirely
-            @pl.when(count > 0)
-            def _():
-                m2 = m[None, :]
-                # rank accumulation is f32 regardless of input precision
-                ranks = jnp.dot(m2, lt, preferred_element_type=jnp.float32)
-                ranks_i = ranks.astype(jnp.int32) - 1
-                onehot = ((ranks_i == out_slot) & (m2 > 0)).astype(jnp.float32)
-                vals = feats_ref[0, pl.ds(c * k, k), :].astype(jnp.float32)
-                comp = jnp.dot(onehot, vals, preferred_element_type=jnp.float32,
-                               precision=precision)
-                aux = aux_ref[0, pl.ds(c * k, k), :]
-                comp_aux = jnp.dot(onehot, aux, preferred_element_type=jnp.float32,
-                                   precision=precision)
-                out_ref[0, pl.ds(offset, k), :] = comp
-                out_aux_ref[0, pl.ds(offset, k), :] = comp_aux
-
-            return offset + ((count + 7) // 8) * 8
-        jax.lax.fori_loop(0, g // k, body, jnp.int32(0))
+        # occupancy is ~2% at production shapes, so most chunks carry no
+        # voxels at all — skip their matmuls and stores entirely
+        @pl.when(count > 0)
+        def _():
+            m2 = mask_ref[0, 0, :][None, :]
+            r2 = ranks_ref[0, 0, :][None, :].astype(jnp.int32)
+            out_slot = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+            onehot = ((r2 == out_slot) & (m2 > 0)).astype(jnp.float32)
+            vals = jnp.concatenate(
+                [feats_ref[0].astype(jnp.float32), aux_ref[0]], axis=1)
+            comp = jnp.dot(onehot, vals, preferred_element_type=jnp.float32,
+                           precision=precision)
+            out_ref[0, pl.ds(offset, k), :] = comp
 
     return kernel
 
@@ -114,30 +145,31 @@ def _run_fwd(
     # range (255) for g > 32768 — force exact there too.
     exact = (feats.dtype != jnp.bfloat16) or g > 32768
 
-    out, out_aux = pl.pallas_call(
-        _make_kernel(g, cap, chunk, exact),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 1, g), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, g, c), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, g, 8), lambda bi: (0, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, cap + chunk, c), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, cap + chunk, 8), lambda bi: (bi, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, cap + chunk, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, cap + chunk, 8), jnp.float32),
-        ],
+    counts, offsets, ranks = _chunk_offsets(flat_mask, chunk, cap)
+    out = pl.pallas_call(
+        _make_kernel(chunk, exact),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, g // chunk),
+            in_specs=[
+                pl.BlockSpec((1, 1, chunk), lambda bi, ci, *_: (bi, 0, ci)),
+                pl.BlockSpec((1, 1, chunk), lambda bi, ci, *_: (bi, 0, ci)),
+                pl.BlockSpec((1, chunk, c), lambda bi, ci, *_: (bi, ci, 0)),
+                pl.BlockSpec((1, chunk, 8), lambda bi, ci, *_: (0, ci, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cap + chunk, c + 8), lambda bi, ci, *_: (bi, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cap + chunk, c + 8), jnp.float32),
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(flat_mask[:, None, :], flat_feats, aux)
+    )(counts, offsets, flat_mask[:, None, :], ranks[:, None, :],
+      flat_feats, aux)
 
-    vfeats = out[:, :capacity].astype(feats.dtype)
-    out_aux = out_aux[:, :capacity]
+    vfeats = out[:, :capacity, :c].astype(feats.dtype)
+    out_aux = out[:, :capacity, c:]
     lin_idx = (out_aux[..., 0] * 128.0 + out_aux[..., 1]).astype(jnp.int32)
     vmask = (out_aux[..., 2] > 0.5).astype(mask.dtype)
     i0 = lin_idx // (d1 * d2)
@@ -147,9 +179,9 @@ def _run_fwd(
     return coords, vfeats, vmask
 
 
-def _make_bwd_kernel(g: int, cap: int, chunk: int, exact: bool):
-    """Mirror of the forward loop: chunk c's compacted rows live at the same
-    running offset, so its input-grid gradient is the TRANSPOSED one-hot
+def _make_bwd_kernel(chunk: int, exact: bool):
+    """Mirror of the forward: chunk c's compacted rows live at the same
+    prefetched offset, so its input-grid gradient is the TRANSPOSED one-hot
     matmul of the output-cotangent slice at that offset. Alignment-gap rows
     (zero one-hot columns) and rows beyond `capacity` (zero-padded cotangent)
     contribute nothing, exactly matching the forward's selection.
@@ -158,36 +190,36 @@ def _make_bwd_kernel(g: int, cap: int, chunk: int, exact: bool):
     default MXU precision otherwise (bf16 training — cotangents are bf16)."""
     precision = jax.lax.Precision.HIGHEST if exact else None
 
-    def kernel(mask_ref, dout_ref, dvals_ref):
-        # blocks: mask [1, 1, G], dout [1, cap+chunk, C], dvals [1, G, C]
-        dvals_ref[:] = jnp.zeros_like(dvals_ref)
+    def kernel(counts_ref, offsets_ref, mask_ref, ranks_ref, dout_ref,
+               dvals_ref):
+        # blocks: mask/ranks [1, 1, chunk], dout [1, cap+chunk, C] (whole
+        # block, sliced dynamically), dvals [1, chunk, C] (one store per step)
+        bi = pl.program_id(0)
+        ci = pl.program_id(1)
+        count = counts_ref[bi, ci]
+        offset = pl.multiple_of(offsets_ref[bi, ci], 8)
         k = chunk
-        lt = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0) <=
-              jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)).astype(jnp.float32)
-        out_slot = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
 
-        def body(c, offset):
-            m = mask_ref[0, 0, pl.ds(c * k, k)]
-            count = jnp.sum(m).astype(jnp.int32)
-            offset = pl.multiple_of(jnp.minimum(offset, cap), 8)
+        @pl.when(count == 0)  # empty chunks carry zero gradient
+        def _():
+            dvals_ref[:] = jnp.zeros_like(dvals_ref)
 
-            @pl.when(count > 0)  # empty chunks keep their zero gradient
-            def _():
-                m2 = m[None, :]
-                ranks = jnp.dot(m2, lt, preferred_element_type=jnp.float32)
-                ranks_i = ranks.astype(jnp.int32) - 1
-                onehot = ((ranks_i == out_slot) & (m2 > 0)).astype(jnp.float32)
-                gs = dout_ref[0, pl.ds(offset, k), :]
-                # dvals[j] = sum_s onehot[s, j] * gs[s] (contract the slot axis)
-                dvals = jax.lax.dot_general(
-                    onehot, gs, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-                dvals_ref[0, pl.ds(c * k, k), :] = dvals
-
-            return offset + ((count + 7) // 8) * 8
-        jax.lax.fori_loop(0, g // k, body, jnp.int32(0))
+        @pl.when(count > 0)
+        def _():
+            m2 = mask_ref[0, 0, :][None, :]
+            r2 = ranks_ref[0, 0, :][None, :].astype(jnp.int32)
+            out_slot = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+            onehot = ((r2 == out_slot) & (m2 > 0)).astype(jnp.float32)
+            gs = dout_ref[0, pl.ds(offset, k), :]
+            # dvals[j] = sum_s onehot[s, j] * gs[s] (contract the slot axis);
+            # rows of gs beyond this chunk's count have all-zero one-hot
+            # columns, so reading into the next chunk's region is harmless
+            dvals = jax.lax.dot_general(
+                onehot, gs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            dvals_ref[0] = dvals
 
     return kernel
 
@@ -202,20 +234,25 @@ def _run_bwd(d_vfeats, mask, feats_shape, feats_dtype, capacity):
     dout = jnp.zeros((b, cap + chunk, c), jnp.float32)
     dout = dout.at[:, :capacity].set(d_vfeats.astype(jnp.float32))
 
+    counts, offsets, ranks = _chunk_offsets(flat_mask, chunk, cap)
     dflat = pl.pallas_call(
-        _make_bwd_kernel(g, cap, chunk, exact=d_vfeats.dtype != jnp.bfloat16),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, 1, g), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, cap + chunk, c), lambda bi: (bi, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, g, c), lambda bi: (bi, 0, 0)),
+        _make_bwd_kernel(chunk, exact=d_vfeats.dtype != jnp.bfloat16),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, g // chunk),
+            in_specs=[
+                pl.BlockSpec((1, 1, chunk), lambda bi, ci, *_: (bi, 0, ci)),
+                pl.BlockSpec((1, 1, chunk), lambda bi, ci, *_: (bi, 0, ci)),
+                pl.BlockSpec((1, cap + chunk, c), lambda bi, ci, *_: (bi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, chunk, c), lambda bi, ci, *_: (bi, ci, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((b, g, c), jnp.float32),
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(flat_mask[:, None, :], dout)
+    )(counts, offsets, flat_mask[:, None, :], ranks[:, None, :], dout)
     return dflat.reshape(b, d0, d1, d2, c).astype(feats_dtype)
 
 
@@ -232,6 +269,14 @@ def pallas_dense_to_sparse(
     valid under jax.grad — capability parity with the reference's
     three_interpolate backward (libs/pointnet_sp/src/interpolate_gpu.cu:
     124-146). `mask` (occupancy) is treated as non-differentiable.
+
+    Capacity semantics: the 8-aligned per-chunk layout wastes up to 7 slots
+    per NON-EMPTY chunk, so the worst-case effective capacity is
+    `capacity - 7 * min(n_nonempty_chunks, G/chunk)` (uniformly scattered
+    single-voxel chunks consume 8 slots each). Size capacity accordingly:
+    at the production pyramid shapes the waste bound is <=7*G/512 (448 at
+    level 0) on top of the measured occupancy, well inside the defaults
+    (models/dcl_net.py capacities).
 
     Args:
       feats: [B, D0, D1, D2, C]; mask: [B, D0, D1, D2]; capacity: static V

@@ -37,19 +37,40 @@ import numpy as np
 
 
 def _conv_window_sum(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
-    """Window sum via strided depthwise conv with a ones kernel.
+    """Window sum via three SEPARABLE strided 1-D depthwise convs.
 
-    On this TPU backend XLA's conv path is ~3x faster than shifted-add box
-    filters for the same reduction, and it is cleanly differentiable.
+    A k^3 box sum is a composition of three k-tap sums, one per axis, each
+    with that axis's stride and zero padding — exactly equal to the single
+    k^3 depthwise conv (sums of sums; zero padding per axis composes).
+    Depthwise convs never touch the MXU on this backend, so tap count is the
+    cost driver: 3x3 taps instead of 27, and striding each axis in its own
+    pass shrinks the intermediate volume 2x per pass (the 64^3 pool measured
+    ~26 ms as one 27-tap conv, ~7 ms separable at B=256). Differentiability
+    is preserved (still plain convs).
     x: [B, D0, D1, D2, C].
     """
     c = x.shape[-1]
-    w = jnp.ones((kernel, kernel, kernel, 1, c), x.dtype)
-    return jax.lax.conv_general_dilated(
-        x, w, (stride,) * 3, [(padding, padding)] * 3,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        feature_group_count=c,
-    )
+    # TPU convs truncate f32 inputs to bf16 at default precision; three
+    # chained passes would compound that, so f32 callers (the exact path and
+    # all mask/count sums — though 0/1 counts are bf16-exact anyway) run at
+    # HIGHEST. bf16 feature compute keeps the fast default.
+    precision = (jax.lax.Precision.HIGHEST
+                 if x.dtype == jnp.float32 else None)
+    for axis in range(3):
+        kshape = [1, 1, 1]
+        kshape[axis] = kernel
+        strides = [1, 1, 1]
+        strides[axis] = stride
+        pads = [(0, 0)] * 3
+        pads[axis] = (padding, padding)
+        w = jnp.ones((*kshape, 1, c), x.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, w, tuple(strides), pads,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c,
+            precision=precision,
+        )
+    return x
 
 
 def dilate_mask(mask: jnp.ndarray, kernel: int = 3, stride: int = 1, padding: int | None = None) -> jnp.ndarray:

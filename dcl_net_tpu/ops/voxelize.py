@@ -88,17 +88,22 @@ def voxelize_dense(
         feats = feats * m[..., None]
         ones = ones * m
         # park masked points in voxel 0 contribution-free (already zeroed)
-    flat_count = jnp.zeros((b, g), dtype=feats.dtype)
     batch_ids = jnp.arange(b, dtype=lin.dtype)[:, None].repeat(n, axis=1)
-    flat_count = flat_count.at[batch_ids, lin].add(ones)
 
     if mode in (MODE_SUM, MODE_MEAN, MODE_UNIQUE):
-        # mode 0 (guaranteed unique) is sum with <=1 point per voxel
-        flat_feats = jnp.zeros((b, g, c), dtype=feats.dtype)
-        flat_feats = flat_feats.at[batch_ids, lin].add(feats)
+        # mode 0 (guaranteed unique) is sum with <=1 point per voxel.
+        # ONE scatter for features + count (ones rides as channel C): scatter
+        # cost on this backend is per-pass, not per-channel — fusing the
+        # count scatter into the feature scatter halves voxelize time.
+        ext = jnp.concatenate([feats, ones[..., None]], axis=-1)  # [B,N,C+1]
+        flat_ext = jnp.zeros((b, g, c + 1), dtype=feats.dtype)
+        flat_ext = flat_ext.at[batch_ids, lin].add(ext)
+        flat_feats, flat_count = flat_ext[..., :c], flat_ext[..., c]
         if mode == MODE_MEAN:
             flat_feats = flat_feats / jnp.maximum(flat_count, 1.0)[..., None]
     elif mode in (MODE_FIRST, MODE_LAST):
+        flat_count = jnp.zeros((b, g), dtype=feats.dtype)
+        flat_count = flat_count.at[batch_ids, lin].add(ones)
         # deterministic winner per voxel: the lowest (first) / highest (last)
         # point index — a scatter-min/max of indices followed by one gather,
         # matching the CPU hash-map's keep/overwrite semantics

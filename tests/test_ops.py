@@ -448,12 +448,18 @@ def test_pallas_interp_mode_grad_matches_exact_end_to_end(rng):
         grads[mode] = jax.grad(loss)(variables["params"])
 
     np.testing.assert_allclose(outs["pallas"], outs["exact"], rtol=1e-4)
-    flat_e = jax.tree.leaves(grads["exact"])
+    # the two paths compute the same math with different f32 accumulation
+    # orders (kernel matmuls vs XLA gathers); softmax attention amplifies
+    # that to ~1e-3 absolute on isolated elements, so elementwise rtol is
+    # flaky. A per-leaf relative-L2 bound is robust noise-wise and still
+    # catches routing bugs hard: one flipped 3-NN neighbor shifts whole
+    # gradient rows, pushing relative L2 to O(0.1).
+    paths_e = jax.tree_util.tree_flatten_with_path(grads["exact"])[0]
     flat_p = jax.tree.leaves(grads["pallas"])
-    for a, b in zip(flat_e, flat_p):
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=5e-3, atol=1e-4
-        )
+    for (path, a), b in zip(paths_e, flat_p):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-8)
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel)
 
 
 def test_voxelize_modes_first_last_unique_oracle(rng):
