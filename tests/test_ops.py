@@ -413,6 +413,48 @@ def test_pallas_compaction_vjp_matches_dense_to_sparse(rng):
     del ge
 
 
+def test_pallas_compaction_capacity_waste_bound(rng):
+    """The 8-aligned per-chunk layout consumes ceil(count/8)*8 slots per
+    non-empty chunk, so worst-case effective capacity is
+    capacity - 7*n_nonempty_chunks (ops/pallas_compact.py docstring).
+    Uniform single-voxel chunks must degrade by dropping the HIGHEST-index
+    chunks gracefully; clustered occupancy must keep everything."""
+    from dcl_net_tpu.ops.pallas_compact import pallas_dense_to_sparse, _CHUNK
+
+    d, c = 16, 4  # G = 4096 -> 8 chunks of 512
+    g = d ** 3
+    n_chunks = g // min(_CHUNK, g)
+    assert n_chunks >= 8, "test needs a multi-chunk grid"
+
+    # one voxel per chunk: 8 slots consumed each -> cap 32 holds 4 chunks
+    mask = np.zeros((1, d, d, d), np.float32)
+    feats = np.zeros((1, d, d, d, c), np.float32)
+    chunk = min(_CHUNK, g)
+    for ci in range(n_chunks):
+        lin = ci * chunk + 7  # arbitrary cell inside chunk ci
+        i, j, k = np.unravel_index(lin, (d, d, d))
+        mask[0, i, j, k] = 1
+        feats[0, i, j, k] = ci + 1
+    cap = 32
+    co, vf, vm = pallas_dense_to_sparse(
+        jnp.asarray(feats), jnp.asarray(mask), cap)
+    kept = int(np.asarray(vm).sum())
+    assert kept == cap // 8, kept  # 4 lowest-index chunks survive
+    vals = sorted(np.asarray(vf)[0, np.asarray(vm)[0] > 0][:, 0].tolist())
+    assert vals == [1.0, 2.0, 3.0, 4.0], vals  # linear-order priority
+
+    # clustered: same 8 voxels all inside chunk 0 -> nothing dropped
+    mask2 = np.zeros((1, d, d, d), np.float32)
+    feats2 = np.zeros((1, d, d, d, c), np.float32)
+    for v in range(8):
+        i, j, k = np.unravel_index(v * 3, (d, d, d))
+        mask2[0, i, j, k] = 1
+        feats2[0, i, j, k] = v + 1
+    _, vf2, vm2 = pallas_dense_to_sparse(
+        jnp.asarray(feats2), jnp.asarray(mask2), cap)
+    assert int(np.asarray(vm2).sum()) == 8
+
+
 def test_pallas_interp_mode_grad_matches_exact_end_to_end(rng):
     """Full-model gradient: interp_mode='pallas' (compaction + fused 3-NN,
     both custom-VJP) vs interp_mode='exact' — training may default to the
