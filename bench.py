@@ -91,6 +91,9 @@ def main():
         n_inp=n_points, n_tmp=n_points,
         interp_mode="pallas",      # the eval tools' production configuration
         dtype=jnp.bfloat16,        # drift-bounded fast path (tests/test_model.py)
+        # BENCH_REMAT=1: rematerialize backbones in backward — required to
+        # fit B>=256 training in 16G HBM (models/dcl_net.py)
+        remat=bool(int(os.environ.get("BENCH_REMAT", 0))),
     )
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False

@@ -107,11 +107,21 @@ class DCLNet(nn.Module):
     scale_list: Sequence[int] = (2, 4, 6, 8)  # reference quirk, DCL_Net.py:54
     interp_mode: str = "exact"
     dtype: Optional[jnp.dtype] = None  # compute dtype for the big matmuls
+    # Rematerialize the backbones in the backward pass: drops the dense-grid
+    # conv activations (the dominant training-memory term — [B, 64^3, C]
+    # stacks) and recomputes them when gradients need them. B=256 training
+    # needs 19.2G HBM without remat (OOM on a 16G v5e chip), fits with it;
+    # ~15-30% extra forward compute in exchange. Off by default (the
+    # reference B=32/40 configs fit comfortably).
+    remat: bool = False
 
     def setup(self):
         kw = dict(kernel_size=self.kernel_size, dtype=self.dtype)
-        self.backbone_inp = SparseBackbone(name="backbone_inp", **kw)
-        self.backbone_tmp = SparseBackbone(name="backbone_tmp", **kw)
+        # static_argnums counts self: (grid=1, mask=2, train=3)
+        bb_cls = (nn.remat(SparseBackbone, static_argnums=(3,))
+                  if self.remat else SparseBackbone)
+        self.backbone_inp = bb_cls(name="backbone_inp", **kw)
+        self.backbone_tmp = bb_cls(name="backbone_tmp", **kw)
         pf_kw = dict(
             unit_voxel_extent=tuple(self.unit_voxel_extent),
             voxel_num_limit=tuple(int(d) for d in self.voxel_num_limit),

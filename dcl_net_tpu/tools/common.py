@@ -104,6 +104,10 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
     caps = m.get("capacities")
     if caps:
         kwargs["capacities"] = tuple(int(c) for c in caps)
+    if m.get("remat"):
+        # recompute backbone activations in backward: fits large-batch
+        # training in HBM (model.remat: true; see models/dcl_net.py)
+        kwargs["remat"] = bool(m.remat)
     mode = m.get("interp_mode", interp_mode)
     if mode is None:
         # Default: the fused Pallas interp path (custom-VJP, so valid for

@@ -252,6 +252,38 @@ def test_bf16_compute_pose_drift_bounded():
     assert trans_mm.max() < 0.5, trans_mm
 
 
+def test_remat_matches_baseline_loss_and_grads():
+    """model.remat=True (backbone rematerialization for large-batch training,
+    models/dcl_net.py) must be a pure memory/compute trade: identical loss
+    and gradients to the non-remat model."""
+    rng = np.random.RandomState(7)
+    batch = _make_batch(rng)
+
+    results = {}
+    for remat in (False, True):
+        model = DCLNet(
+            unit_voxel_extent=UNIT, voxel_num_limit=GRID, n_inp=N, n_tmp=N,
+            capacities=(256, 64, 16, 8), remat=remat,
+        )
+        variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+
+        def loss(params):
+            pred, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+            )
+            return dcl_losses(pred, batch)["loss_all"]
+
+        results[remat] = (float(loss(variables["params"])),
+                          jax.grad(loss)(variables["params"]))
+
+    assert results[False][0] == results[True][0]
+    for a, b in zip(jax.tree.leaves(results[False][1]),
+                    jax.tree.leaves(results[True][1])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_default_capacities_have_margin_over_real_occupancy():
     """The default per-level extraction budgets must hold >=2x the pyramid
     occupancy actually produced at the production shapes (1024-pt surface
