@@ -147,9 +147,6 @@ def main():
     eval_mfu = (eval_flops / dt) / peak if eval_flops else None
 
     # ---- training side (reference config shape: B=32, 1024 pts) ----
-    tb = jax.tree.map(
-        jnp.asarray, make_batch(samples[:train_batch]).to_dict()
-    )
     cfg = Config({"optimizer": {"type": "Adam", "lr": 1e-3,
                                 "betas": [0.5, 0.999], "eps": 1e-6}})
     tx, _ = build_optimizer(cfg)

@@ -43,7 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
+# chunk-size knob for perf sweeps (scripts/bench_vox_variants.py); Mosaic
+# requires 128-divisible trailing block dims, and grids smaller than the
+# chunk fall back to chunk=g (always a power of two here)
 _CHUNK = int(os.environ.get("DCLX_COMPACT_CHUNK", 512))
+if _CHUNK % 128 != 0 or _CHUNK <= 0:
+    raise ValueError(
+        f"DCLX_COMPACT_CHUNK={_CHUNK} must be a positive multiple of 128 "
+        "(Mosaic 128-lane trailing-dim constraint)")
 
 
 def _interpret() -> bool:
