@@ -129,7 +129,13 @@ def refine_pose(
         ) + trans_cur
         return (rot_new, trans_new), None
 
+    # pose composition is geometry: carry in f32 regardless of the model's
+    # compute dtype (the bf16 production config emits bf16 trans_pred, and
+    # the HIGHEST-precision compose returns f32 — a mixed-dtype carry would
+    # fail scan's type check)
     (rot, trans), _ = jax.lax.scan(
-        step, (rot_init, trans_init), None, length=iterations
+        step,
+        (rot_init.astype(jnp.float32), trans_init.astype(jnp.float32)),
+        None, length=iterations,
     )
     return rot, trans

@@ -53,28 +53,32 @@ def _fwd_kernel(pts_ref, ctr_ref, feats_ref, mask_ref, out_ref, w_ref, idx_ref):
         d2 = d2 + diff * diff
     d2 = jnp.where(valid > 0, d2, _BIG)                # [T, V]
 
+    # Iterated argmin top-3; the per-k one-hot mask (col == i) is REUSED for
+    # both knocking the found minimum out of `cur` and accumulating the
+    # reciprocal-weighted selection matrix, so the selection needs one [T,V]
+    # compare per neighbor instead of two. acc = sum_k onehot_k/(d_k+eps);
+    # wmat = acc / rowsum(recip) == the sum of weighted one-hots (the three
+    # indices are distinct), feeding ONE MXU dot.
     col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     dists, idxs = [], []
     cur = d2
+    acc = jnp.zeros(d2.shape, jnp.float32)             # [T, V]
     for _ in range(3):
         i = jnp.argmin(cur, axis=1)                    # [T]
-        dists.append(jnp.min(cur, axis=1))
+        d = jnp.min(cur, axis=1)
+        dists.append(d)
         idxs.append(i)
-        cur = jnp.where(col == i[:, None], _BIG, cur)
+        eq = col == i[:, None]                         # [T, V] one-hot
+        acc = acc + jnp.where(eq, (1.0 / (d + 1e-8))[:, None], 0.0)
+        cur = jnp.where(eq, _BIG, cur)
 
     d3 = jnp.stack(dists, axis=0)                      # [3, T]
     recip = 1.0 / (d3 + 1e-8)
-    weight = recip / jnp.sum(recip, axis=0, keepdims=True)
+    inv_sum = 1.0 / jnp.sum(recip, axis=0)             # [T]
+    weight = recip * inv_sum[None, :]
 
-    # fold the three weighted selections into ONE [T, V] matrix -> a single
-    # MXU dot instead of three (the neighbor indices are distinct, so the
-    # sum of weighted one-hots is exact)
     feats = feats_ref[0]                               # [V, C]
-    wmat = jnp.zeros((pts.shape[1], v), jnp.float32)   # [T, V]
-    for k in range(3):
-        wmat = wmat + jnp.where(
-            col == idxs[k][:, None], weight[k, :][:, None], 0.0
-        )
+    wmat = acc * inv_sum[:, None]                      # [T, V]
     out_ref[0] = jnp.dot(wmat, feats, preferred_element_type=jnp.float32)
     w_ref[0] = weight                                  # [3, T]
     idx_ref[0] = jnp.stack(idxs, axis=0)               # [3, T]

@@ -193,6 +193,18 @@ def test_refiner_shapes_and_loss():
         r @ r.swapaxes(-1, -2), np.broadcast_to(np.eye(3), r.shape), atol=1e-4
     )
 
+    # the bf16 production model emits bf16 trans_pred/F_Xo_p; the pose-
+    # composition scan must carry f32 regardless (a mixed-dtype carry used
+    # to fail lax.scan's type check on TPU stage-2 eval)
+    rot_b, trans_b = refine_pose(
+        refiner.apply, variables, pts, fxo.astype(jnp.bfloat16), conf,
+        rot_gt, trans_gt.astype(jnp.bfloat16), iterations=2,
+    )
+    assert rot_b.dtype == jnp.float32 and trans_b.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(trans_b), np.asarray(trans), atol=5e-3
+    )
+
 
 def test_template_cache_equivalence():
     """encode_observed + cached encode_template + fuse must equal __call__."""
