@@ -116,3 +116,66 @@ def test_evaluator_end_to_end(rng):
     assert out["auc_per_class"][1] > 99.9
     assert out["auc_per_class"][2] > 99.9
     assert out["auc_per_class"][0] < 99.0  # dragged down by lost detections
+
+
+def test_production_config_both_stages(rng):
+    """The TPU production configuration (bf16 compute + pallas interp +
+    template cache) through BOTH evaluator stages and a train step, on CPU
+    interpret mode at tiny shapes. Guards the dtype-interaction bug class:
+    stage-2 refinement once crashed on TPU because the bf16 model's
+    trans_pred hit refine_pose's f32 scan carry — a path no f32-only CPU
+    test exercised."""
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.config import Config
+    from dcl_net_tpu.eval.evaluator import Evaluator, Stage2Evaluator
+    from dcl_net_tpu.models import DCLNet, Refiner, dcl_losses
+    from dcl_net_tpu.train.solver import (
+        build_optimizer, init_train_state, make_train_step,
+    )
+    from tests.test_model import _make_batch, GRID, UNIT, N
+
+    nprng = np.random.RandomState(11)
+    batch = _make_batch(nprng, b=2)
+    model = DCLNet(
+        unit_voxel_extent=UNIT, voxel_num_limit=GRID, n_inp=N, n_tmp=N,
+        capacities=(256, 64, 16, 8), interp_mode="pallas",
+        dtype=jnp.bfloat16,
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, train=True)
+
+    num_classes, P = 1, 32
+    model_points = (nprng.rand(num_classes, P, 3).astype(np.float32) - 0.5) * 0.1
+    bank = {
+        "feats": np.asarray(batch["tmp"]["feats"][:1]),
+        "voxel_idx": np.asarray(batch["tmp"]["voxel_idx"][:1]),
+    }
+
+    ev = Evaluator(model, variables, model_points, template_bank=bank)
+    out1 = ev.evaluate(iter([batch]))
+    assert np.isfinite(out1["auc_mean"])
+
+    refiner = Refiner(n_inp=N)
+    s1 = model.apply(variables, batch, train=False)
+    rvars = refiner.init(
+        jax.random.PRNGKey(1),
+        {"input_features": jnp.concatenate(
+            [s1["points_inp"], s1["F_Xo_p"].astype(jnp.float32)], -1),
+         "conf": s1["conf"]},
+    )
+    ev2 = Stage2Evaluator(
+        model, variables, refiner, rvars, model_points,
+        iterations=2, template_bank=bank,
+    )
+    out2 = ev2.evaluate(iter([batch]))
+    assert np.isfinite(out2["auc_mean"])
+
+    # bf16 + pallas train step runs and stays finite
+    tx, _ = build_optimizer(Config({
+        "optimizer": {"type": "Adam", "lr": 1e-3,
+                      "betas": [0.5, 0.999], "eps": 1e-6}}))
+    state = init_train_state(model, tx, batch)
+    step = make_train_step(model, tx, dcl_losses)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss_all"]))
+    assert float(metrics.get("skipped_nonfinite", 0.0)) == 0.0
