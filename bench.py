@@ -73,7 +73,11 @@ def main():
     from dcl_net_tpu.train.solver import build_optimizer, init_train_state, make_train_step
 
     peak = _PEAK_FLOPS.get(jax.devices()[0].device_kind, 197e12)
-    batch_size = int(os.environ.get("BENCH_BATCH", 256))
+    # B=512 is the measured eval sweet spot: every full-model dispatch pays
+    # ~60-66 ms of batch-independent cost (kernel launches, O(G) chunk
+    # sweeps at their latency floors), so throughput rises with batch until
+    # ~512 and plateaus (256: ~1400, 512: 1517, 768: 1503 inst/s).
+    batch_size = int(os.environ.get("BENCH_BATCH", 512))
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", 32))
     n_points = 1024
     n_classes = 8
