@@ -191,6 +191,54 @@ def main():
             "mfu": round((flops2 / tdt2) / peak, 4) if flops2 else None,
         }
 
+    # ---- stage-2 (refined) eval: the reference's headline 96.6 config ----
+    # (stage-1 + 2 scanned refiner iterations; BENCH_STAGE2=0 disables)
+    stage2 = None
+    if int(os.environ.get("BENCH_STAGE2", 1)):
+        from dcl_net_tpu.models import Refiner
+        from dcl_net_tpu.models.refiner import refine_pose
+
+        refiner = Refiner(n_inp=n_points)
+        full = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+            variables, batch)
+        rvars = refiner.init(
+            jax.random.PRNGKey(1),
+            {"input_features": jnp.concatenate(
+                [full["points_inp"],
+                 full["F_Xo_p"].astype(jnp.float32)], -1),
+             "conf": full["conf"]},
+        )
+
+        @jax.jit
+        def fwd2(v, rv, cache, b):
+            obs = model.apply(v, b, train=False, method=model.encode_observed)
+            tmp = jax.tree.map(lambda x: x[b["labels"]["obj_idx"]], cache)
+            out = model.apply(v, obs, tmp, train=False, method=model.fuse)
+            rot, trans = refine_pose(
+                refiner.apply, rv, out["points_inp"], out["F_Xo_p"],
+                out["conf"], out["rot_pred"], out["trans_pred"], 2,
+            )
+            return trans
+
+        _ = np.asarray(fwd2(variables, rvars, tmp_cache, batch))
+        _ = np.asarray(fwd2(variables, rvars, tmp_cache, batch))
+
+        def s2_loop():
+            t0 = time.perf_counter()
+            prev = fwd2(variables, rvars, tmp_cache, batch)
+            for _i in range(iters - 1):
+                cur = fwd2(variables, rvars, tmp_cache, batch)
+                _ = np.asarray(prev)
+                prev = cur
+            _ = np.asarray(prev)
+            return (time.perf_counter() - t0) / iters
+
+        s2dt = min(s2_loop() for _ in range(2))
+        stage2 = {
+            "instances_per_sec_per_chip": round(batch_size / s2dt, 2),
+            "refine_iterations": 2,
+        }
+
     print(json.dumps({
         "metric": "ycbv_stage1_eval_instances_per_sec_per_chip",
         "value": round(float(inst_per_sec), 2),
@@ -206,6 +254,7 @@ def main():
             "train_flops_per_sample": round(train_flops / train_batch) if train_flops else None,
             "train_mfu": round(train_mfu, 4) if train_mfu else None,
             "train_large_batch": train2,
+            "stage2_eval": stage2,
             "device_kind": jax.devices()[0].device_kind,
             "peak_flops_assumed": peak,
             "config": "bf16 + pallas interp + per-class template cache",
