@@ -88,7 +88,9 @@ def main():
         voxel_num_limit=grid, seed=0,
     )
     samples = [ds[i] for i in range(max(batch_size, train_batch))]
-    batch = jax.tree.map(jnp.asarray, make_batch(samples).to_dict())
+    # the eval batch must be EXACTLY batch_size rows (samples may hold more
+    # when train_batch > batch_size) or inst/s and FLOPs/instance are wrong
+    batch = jax.tree.map(jnp.asarray, make_batch(samples[:batch_size]).to_dict())
 
     model = DCLNet(
         unit_voxel_extent=unit, voxel_num_limit=grid,
@@ -121,11 +123,12 @@ def main():
         out = model.apply(v, obs, tmp, train=False, method=model.fuse)
         return out["rot_pred"], out["trans_pred"]
 
+    # the AOT executable is reused for the timed loop — lowering once and
+    # then calling fwd() again would trace+compile the same graph twice
     eval_compiled = fwd.lower(variables, tmp_cache, batch).compile()
     eval_flops = _flops_of(eval_compiled)
-    rot, trans = fwd(variables, tmp_cache, batch)  # compile/warm
     for _ in range(2):
-        _ = np.asarray(fwd(variables, tmp_cache, batch)[1])
+        _ = np.asarray(eval_compiled(variables, tmp_cache, batch)[1])
 
     # 1-deep dispatch pipelining, the production Evaluator.evaluate pattern:
     # dispatch batch k+1 before fetching batch k's [B]-sized result. Every
@@ -137,9 +140,9 @@ def main():
 
     def timed_loop():
         t0 = time.perf_counter()
-        prev = fwd(variables, tmp_cache, batch)[1]
+        prev = eval_compiled(variables, tmp_cache, batch)[1]
         for _ in range(iters - 1):
-            cur = fwd(variables, tmp_cache, batch)[1]
+            cur = eval_compiled(variables, tmp_cache, batch)[1]
             trans = np.asarray(prev)
             prev = cur
         trans = np.asarray(prev)
@@ -160,15 +163,16 @@ def main():
         state = init_train_state(model, tx, tb_n)
         step = jax.jit(make_train_step(model, tx, dcl_losses),
                        donate_argnums=(0,))
-        flops = _flops_of(step.lower(state, tb_n).compile())
-        state, m = step(state, tb_n)
+        step_c = step.lower(state, tb_n).compile()  # reused below, no re-trace
+        flops = _flops_of(step_c)
+        state, m = step_c(state, tb_n)
         _ = float(m["loss_all"])
         t_iters = max(iters // 2, 3)
         best = None
         for _rep in range(2):
             t0 = time.perf_counter()
             for _ in range(t_iters):
-                state, m = step(state, tb_n)
+                state, m = step_c(state, tb_n)
                 _ = float(m["loss_all"])  # forces completion
             cur = (time.perf_counter() - t0) / t_iters
             best = cur if best is None else min(best, cur)

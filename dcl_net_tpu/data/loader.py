@@ -71,16 +71,28 @@ class BatchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that honors `stop`: an abandoned iterator (e.g. a
+            # next(iter(loader)) peek) would otherwise leave this thread
+            # blocked forever on a full queue, pinning the pool + batches
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for b in batches:
                     if stop.is_set():
                         break
                     samples = list(pool.map(self.dataset.__getitem__, b))
-                    try:
-                        batch = make_batch(samples, pad_to=self.batch_size)
-                    except ValueError:
-                        continue  # no valid sample in batch: skip
+                    # all-invalid batches are yielded too (valid=0 rows ->
+                    # zero-weight step): dropping them would desynchronize
+                    # the consumed-batch count that mid-epoch resume replays
+                    batch = make_batch(samples, pad_to=self.batch_size)
                     d = batch.to_dict()
                     if self.to_jax:
                         import jax.numpy as jnp
@@ -92,8 +104,9 @@ class BatchLoader:
                             )
                             for k, v in d.items()
                         }
-                    out_q.put(d)
-            out_q.put(None)
+                    if not _put(d):
+                        return
+            _put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -51,10 +51,15 @@ def make_batch(samples, pad_to: Optional[int] = None) -> PoseBatch:
     REPLICATE the first valid sample so batch-norm statistics see only sane
     values, while valid=0 removes them from every loss/metric.
     """
+    if not samples:
+        raise ValueError("batch contains no samples")
     valid_samples = [s for s in samples if s.get("valid", 1.0) > 0]
-    if not valid_samples:
-        raise ValueError("batch contains no valid samples")
-    template = valid_samples[0]
+    # All-invalid batches are legal (e.g. an eval frame where the detector
+    # missed every instance, or a pathological train batch): every row keeps
+    # valid=0 — losses weight to zero and eval scores them as lost — and the
+    # first row's (zeroed) inputs serve as the padding template. The design
+    # invariant is "invalid samples are valid=0 rows, never dropped".
+    template = valid_samples[0] if valid_samples else samples[0]
     b = pad_to or len(samples)
 
     # For invalid/padding rows the INPUT features are replaced by a valid

@@ -135,6 +135,15 @@ class Evaluator:
         )(self.variables, tmp_batch)
 
     def _shard(self, batch):
+        if self.mesh is not None:
+            b = int(jax.tree.leaves(batch)[0].shape[0])
+            n = self.mesh.devices.size
+            if b % n:
+                raise ValueError(
+                    f"eval batch size {b} is not divisible by the "
+                    f"{n}-device mesh — set the eval loader's bs to a "
+                    f"multiple of n_devices (same rule the Solver enforces)"
+                )
         if self.mesh is None:
             return batch
         from dcl_net_tpu.parallel.mesh import shard_batch

@@ -39,6 +39,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
 
 
 def init(args, tool_name: str) -> Tuple[object, Config]:
+    # persistent compilation cache for EVERY tool (CLAUDE.md rule 3: cold
+    # compiles take minutes via remote-compile) — the eval CLIs previously
+    # paid that on every invocation
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_cache")),
+    )
     cfg = Config.fromfile(args.config)
     if args.override:
         cfg = cfg.apply_overrides(args.override)

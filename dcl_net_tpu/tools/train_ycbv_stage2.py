@@ -91,10 +91,24 @@ def main(argv=None):
 
     refiner = Refiner(n_inp=int(cfg.model.n_inp))
 
-    # per_val hook: refined-pose ADD-S on a held-out deterministic batch
-    # (mirrors the reference Trainer.evaluate cadence,
-    # tools/train_YCBV_stage2.py:205-222, without requiring test data on disk)
-    eval_batch = next(iter(loader))
+    # per_val hook: refined-pose ADD-S on a FIXED PROBE batch built straight
+    # from the dataset with its own seed (mirrors the reference
+    # Trainer.evaluate cadence, tools/train_YCBV_stage2.py:205-222). The
+    # probe is TRAINING data — a monitoring signal for the refinement loop,
+    # not a test metric (true held-out eval is the tools/test_* CLIs on the
+    # test split); it is deliberately NOT drawn through the loader, whose
+    # first epoch-0 batch the trainer immediately trains on.
+    import numpy as _np
+
+    from dcl_net_tpu.data.schema import make_batch as _make_batch
+
+    _probe_rng = _np.random.RandomState(int(cfg.get("rd_seed", 1)) + 977)
+    _probe_idx = _probe_rng.choice(
+        len(dataset), size=min(bs, len(dataset)), replace=False)
+    eval_batch = jax.tree.map(
+        jnp.asarray,
+        _make_batch([dataset[int(i)] for i in _probe_idx], pad_to=bs).to_dict(),
+    )
 
     @jax.jit
     def _eval_run(params):

@@ -48,12 +48,26 @@ def load_checkpoint(path: str, target: Optional[Dict] = None) -> Dict[str, Any]:
     """Restore a checkpoint. Without `target`, container types degrade to
     plain dicts (fine for params/batch_stats). Pass `target` (a matching
     pytree, e.g. built from a live TrainState) to restore custom containers
-    — optax/NamedTuple opt states NEED this or their structure is lost."""
+    — optax/NamedTuple opt states NEED this or their structure is lost.
+
+    Checkpoints written by OLDER code may lack top-level keys the current
+    schema adds (e.g. 'meta', which arrived with mid-epoch resume): those
+    keys are filled from `target`'s defaults instead of failing the
+    tree-structure match, so old runs stay resumable."""
     ocp = _ocp()
+    p = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        if target is not None:
-            return ckptr.restore(os.path.abspath(path), item=target)
-        return ckptr.restore(os.path.abspath(path))
+        if target is None:
+            return ckptr.restore(p)
+        try:
+            return ckptr.restore(p, item=target)
+        except Exception:
+            stored = ckptr.restore(p)  # structure-free read of what exists
+            sub = {k: v for k, v in target.items() if k in stored}
+            out = dict(ckptr.restore(p, item=sub))
+            for k, v in target.items():
+                out.setdefault(k, v)
+            return out
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:

@@ -92,6 +92,43 @@ def test_checkpoint_roundtrip(tmp_path):
     assert latest_checkpoint(str(tmp_path)).endswith("epoch_12")
 
 
+def test_restore_pre_meta_checkpoint_with_target(tmp_path):
+    """Checkpoints written BEFORE the mid-epoch-resume schema (no 'meta'
+    subtree) must still restore against the current full target — the
+    missing keys are filled from the target's defaults instead of failing
+    orbax's tree-structure match."""
+    import orbax.checkpoint as ocp
+
+    from dcl_net_tpu.train.checkpoints import load_checkpoint
+
+    old_payload = {  # what the pre-upgrade save_checkpoint wrote
+        "params": {"layer": {"w": np.arange(6.0).reshape(2, 3)}},
+        "batch_stats": {"bn": {"mean": np.ones(3)}},
+        "opt_state": {"momentum": np.zeros(3)},
+        "step": 42,
+        "epoch": 7,
+    }
+    path = str(tmp_path / "epoch_7")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, old_payload, force=True)
+
+    target = {
+        "params": {"layer": {"w": np.zeros((2, 3))}},
+        "batch_stats": {"bn": {"mean": np.zeros(3)}},
+        "opt_state": {"momentum": np.zeros(3)},
+        "step": 0,
+        "epoch": 0,
+        "meta": {"consumed_batches": 0},
+    }
+    loaded = load_checkpoint(path, target=target)
+    assert loaded["epoch"] == 7
+    assert loaded["meta"]["consumed_batches"] == 0  # default injected
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["layer"]["w"]),
+        np.arange(6.0).reshape(2, 3),
+    )
+
+
 def test_nonfinite_gradient_guard(rng):
     """A NaN-producing batch must leave params/opt-state untouched and set
     the skipped_nonfinite metric."""
