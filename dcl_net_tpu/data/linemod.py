@@ -125,10 +125,13 @@ class _LMBase:
             & (np.abs(cloud[:, 1]) < self.total[1] * 0.5)
             & (np.abs(cloud[:, 2]) < self.total[2] * 0.5)
         )
+        # Reference semantics (LM/dataloader_test_LM.py:195-204): filter to
+        # in-volume points whenever >min_keep survive OR in eval mode
+        # (keep_all_if_few=True) — eval filters even when few survive. The
+        # zero-survivor case would crash the reference's np.random.choice;
+        # we keep the full cloud as a benign fallback instead.
         if keep.sum() > min_keep or keep_all_if_few:
-            if keep.sum() > 0 or not keep_all_if_few:
-                if keep.sum() == 0:
-                    return self._invalid()
+            if keep.sum() > 0:
                 cloud, rgb = cloud[keep], rgb[keep]
         else:
             return self._invalid()
@@ -213,14 +216,19 @@ class LineMODDataset(_LMBase):
 
         import yaml
 
-        item_count = 0
         for item in self.objlist:
             start = len(self.list_rgb)
             split = "train" if mode == "train" else "test"
             with open(f"{root}/data/{item:02d}/{split}.txt") as f:
+                # reference keeps every 10th frame in test mode via a shared
+                # readline counter (:69-77) — but its EOF iterations keep
+                # incrementing that counter until the next multiple of 10
+                # before breaking, so each object file effectively restarts
+                # at a multiple of 10: the selected frames are every object's
+                # OWN 10th, 20th, ... lines. Count per file to match.
+                item_count = 0
                 for line in f:
                     item_count += 1
-                    # reference keeps every 10th frame in test mode (:76-77)
                     if mode == "test" and item_count % 10 != 0:
                         continue
                     line = line.strip()

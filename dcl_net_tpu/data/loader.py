@@ -84,29 +84,33 @@ class BatchLoader:
             return False
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        break
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    # all-invalid batches are yielded too (valid=0 rows ->
-                    # zero-weight step): dropping them would desynchronize
-                    # the consumed-batch count that mid-epoch resume replays
-                    batch = make_batch(samples, pad_to=self.batch_size)
-                    d = batch.to_dict()
-                    if self.to_jax:
-                        import jax.numpy as jnp
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, b))
+                        # all-invalid batches are yielded too (valid=0 rows
+                        # -> zero-weight step): dropping them would
+                        # desynchronize the consumed-batch count that
+                        # mid-epoch resume replays
+                        batch = make_batch(samples, pad_to=self.batch_size)
+                        d = batch.to_dict()
+                        if self.to_jax:
+                            import jax.numpy as jnp
 
-                        d = {
-                            k: (
-                                {k2: jnp.asarray(v2) for k2, v2 in v.items()}
-                                if isinstance(v, dict) else jnp.asarray(v)
-                            )
-                            for k, v in d.items()
-                        }
-                    if not _put(d):
-                        return
-            _put(None)
+                            d = {
+                                k: (
+                                    {k2: jnp.asarray(v2) for k2, v2 in v.items()}
+                                    if isinstance(v, dict) else jnp.asarray(v)
+                                )
+                                for k, v in d.items()
+                            }
+                        if not _put(d):
+                            return
+                _put(None)
+            except BaseException as exc:  # surface in the consumer, don't
+                _put(exc)                 # die silently and deadlock get()
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -115,6 +119,8 @@ class BatchLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
@@ -127,6 +133,8 @@ class EvalFrameLoader:
 
     def __init__(self, dataset, batch_size: int = 16, num_workers: int = 8,
                  to_jax: bool = True):
+        # to_jax kept for BatchLoader signature parity; batches are emitted
+        # as numpy either way (jit converts on dispatch)
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -141,22 +149,35 @@ class EvalFrameLoader:
                 del pending[: self.batch_size]
                 yield make_batch(chunk, pad_to=self.batch_size).to_dict()
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            for frame in pool.map(
-                self.dataset.__getitem__, range(len(self.dataset))
-            ):
-                for s in frame["samples"]:
-                    pending.append(s)
-                for lost in frame["lost"]:
-                    # lost detection: no input; valid=0 row scoring as inf
-                    row = dict(self.dataset_invalid_template())
-                    row.update(
-                        rot_gt=lost["rot_gt"], trans_gt=lost["trans_gt"],
-                        obj_idx=np.int32(lost["obj_idx"]), valid=0.0,
-                    )
-                    pending.append(row)
-                yield from emit()
-            yield from emit(force=True)
+        def frames():
+            # bounded look-ahead: submitting the WHOLE dataset to the pool
+            # up front would buffer every preprocessed frame ahead of the
+            # (device-paced) consumer — multi-GB of clouds in RAM
+            from collections import deque
+
+            window = max(2 * self.num_workers, 4)
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futs = deque()
+                for i in range(len(self.dataset)):
+                    futs.append(pool.submit(self.dataset.__getitem__, i))
+                    if len(futs) >= window:
+                        yield futs.popleft().result()
+                while futs:
+                    yield futs.popleft().result()
+
+        for frame in frames():
+            for s in frame["samples"]:
+                pending.append(s)
+            for lost in frame["lost"]:
+                # lost detection: no input; valid=0 row scoring as inf
+                row = dict(self.dataset_invalid_template())
+                row.update(
+                    rot_gt=lost["rot_gt"], trans_gt=lost["trans_gt"],
+                    obj_idx=np.int32(lost["obj_idx"]), valid=0.0,
+                )
+                pending.append(row)
+            yield from emit()
+        yield from emit(force=True)
 
     def dataset_invalid_template(self):
         if hasattr(self.dataset, "invalid_row"):

@@ -28,8 +28,14 @@ class PoseBatch:
     sym_flag: np.ndarray       # [B] float32 (1 = symmetric)
     valid: np.ndarray          # [B] float32 (0 = padded/invalid row)
     radius: Optional[np.ndarray] = None  # [B] object radius (YCBV aux)
+    # 1.0 for SYNTHETIC fill rows added by pad_to (no corresponding sample).
+    # valid=0 alone cannot distinguish "genuine lost detection carrying real
+    # labels" (scored inf / counted lost by the eval protocol) from "row that
+    # only exists to make the batch rectangular" (must be skipped entirely).
+    pad: Optional[np.ndarray] = None  # [B] float32
 
     def to_dict(self) -> Dict[str, Any]:
+        b = self.valid.shape[0]
         return {
             "inp": {"feats": self.inp_feats, "voxel_idx": self.inp_voxel_idx},
             "tmp": {"feats": self.tmp_feats, "voxel_idx": self.tmp_voxel_idx},
@@ -40,6 +46,8 @@ class PoseBatch:
             },
             "sym_flag": self.sym_flag,
             "valid": self.valid,
+            "pad": (self.pad if self.pad is not None
+                    else np.zeros(b, np.float32)),
         }
 
 
@@ -60,6 +68,11 @@ def make_batch(samples, pad_to: Optional[int] = None) -> PoseBatch:
     # first row's (zeroed) inputs serve as the padding template. The design
     # invariant is "invalid samples are valid=0 rows, never dropped".
     template = valid_samples[0] if valid_samples else samples[0]
+    if pad_to is not None and pad_to < len(samples):
+        raise ValueError(
+            f"pad_to={pad_to} would silently drop "
+            f"{len(samples) - pad_to} of {len(samples)} samples"
+        )
     b = pad_to or len(samples)
 
     # For invalid/padding rows the INPUT features are replaced by a valid
@@ -67,16 +80,20 @@ def make_batch(samples, pad_to: Optional[int] = None) -> PoseBatch:
     # are kept, so lost detections score against their true class.
     input_keys = {"inp_feats", "inp_voxel_idx", "tmp_feats", "tmp_voxel_idx"}
     rows = []
+    pad_flags = []
     for i in range(b):
         if i < len(samples) and samples[i].get("valid", 1.0) > 0:
             rows.append((samples[i], 1.0))
+            pad_flags.append(0.0)
         elif i < len(samples):
             merged = dict(samples[i])
             for k in input_keys:
                 merged[k] = template[k]
             rows.append((merged, 0.0))
+            pad_flags.append(0.0)  # genuine invalid row (lost detection)
         else:
             rows.append((template, 0.0))
+            pad_flags.append(1.0)  # synthetic fill row — skipped by eval
 
     def stack(key, dtype=np.float32):
         return np.stack([np.asarray(s[key], dtype=dtype) for s, _ in rows])
@@ -92,6 +109,7 @@ def make_batch(samples, pad_to: Optional[int] = None) -> PoseBatch:
         sym_flag=stack("sym_flag").reshape(b),
         valid=np.asarray([v for _, v in rows], np.float32),
         radius=stack("radius") if "radius" in template else None,
+        pad=np.asarray(pad_flags, np.float32),
     )
 
 

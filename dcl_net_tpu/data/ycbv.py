@@ -45,6 +45,8 @@ def _load_cads(cad_dir: str, classes_file: str, n_tmp: int, n_downsample: int = 
     for class_id, name in enumerate(class_names, start=1):
         ply = read_ply(os.path.join(cad_dir, name + "_pc.ply"))
         pts, cols = ply["points"], ply.get("colors")
+        if cols is None:  # colorless CAD: zero colors, like the LM loader
+            cols = np.zeros_like(pts)
         n_avail = pts.shape[0]
         if n_avail < n_tmp:
             choose = np.random.choice(n_avail, n_tmp)
@@ -206,7 +208,7 @@ class YCBVTrainDataset:
             "obj_idx": np.int32(obj_id - 1),
             "sym_flag": np.float32(1.0 if (obj_id - 1) in SYMMETRY_OBJ_IDX else 0.0),
             "valid": 1.0,
-            "radius": np.float32(self.radius[obj_id] / 1000.0),
+            "radius": np.float32(self.radius[obj_id]),
         }
 
     def _invalid(self):

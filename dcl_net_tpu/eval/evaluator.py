@@ -160,21 +160,24 @@ class Evaluator:
         class_ids: List[int] = []
         lost_per_class: Dict[int, int] = {}
 
-        def consume(res, valid, cls, sym):
+        def consume(res, valid, cls, sym, pad):
             adds = np.asarray(res["adds"])
             add = np.asarray(res["add"])
             self._score_batch(
                 adds, add, valid, cls, sym,
-                distances, class_ids, lost_per_class,
+                distances, class_ids, lost_per_class, pad=pad,
             )
 
         pending = None
         for batch in loader:
             res = self._run(self.variables, self._shard(batch))
+            valid_arr = np.asarray(batch["valid"])
             meta = (
-                np.asarray(batch["valid"]),
+                valid_arr,
                 np.asarray(batch["labels"]["obj_idx"]),
                 np.asarray(batch["sym_flag"]),
+                np.asarray(batch["pad"]) if "pad" in batch
+                else np.zeros_like(valid_arr),
             )
             if pending is not None:
                 consume(*pending)
@@ -184,9 +187,14 @@ class Evaluator:
         return self.summarize(distances, class_ids, lost_per_class)
 
     def _score_batch(self, adds, add, valid, cls, sym,
-                     distances, class_ids, lost_per_class):
+                     distances, class_ids, lost_per_class, pad=None):
         for i in range(len(valid)):
             c = int(cls[i])
+            if pad is not None and pad[i] > 0:
+                # synthetic fill row (batch rectangularization) — neither a
+                # real instance nor a lost detection; scoring it would
+                # corrupt the per-class metrics
+                continue
             if valid[i] <= 0:
                 # Lost detection handling is protocol-specific:
                 # - LMO: counted in the success-rate denominator

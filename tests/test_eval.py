@@ -118,6 +118,61 @@ def test_evaluator_end_to_end(rng):
     assert out["auc_per_class"][0] < 99.0  # dragged down by lost detections
 
 
+def test_padding_rows_not_scored_as_lost(rng):
+    """Synthetic fill rows (pad=1) exist only to make batches rectangular:
+    they must be skipped by scoring entirely, while genuine invalid rows
+    (valid=0, pad=0 — lost detections) still score inf under adds_auc."""
+    from dcl_net_tpu.eval.evaluator import Evaluator
+
+    class FakeModel:
+        def apply(self, variables, batch, train=False):
+            return {
+                "rot_pred": batch["labels"]["rot_gt"],
+                "trans_pred": batch["labels"]["trans_gt"],
+            }
+
+    P = 16
+    model_points = (rng.rand(1, P, 3).astype(np.float32) - 0.5) * 0.1
+    ev = Evaluator(FakeModel(), {}, model_points, protocol="adds_auc")
+    rot = np.broadcast_to(np.eye(3, dtype=np.float32), (4, 3, 3))
+    batch = {
+        "labels": {
+            "rot_gt": jnp.asarray(rot.copy()),
+            "trans_gt": jnp.zeros((4, 3)),
+            "obj_idx": jnp.zeros((4,), jnp.int32),
+        },
+        "sym_flag": jnp.zeros((4,)),
+        "valid": jnp.asarray([1.0, 1.0, 0.0, 0.0]),
+        "pad": jnp.asarray([0.0, 0.0, 0.0, 1.0]),  # row 2: lost; row 3: fill
+    }
+    out = ev.evaluate(iter([batch]))
+    # 2 perfect + 1 inf scored; VOCap over [0,0,inf] ~= 66.7; a scored pad
+    # row would drag it to 50
+    assert 60.0 < out["auc_per_class"][0] < 70.0, out["auc_per_class"]
+
+    # make_batch marks fill rows itself
+    from dcl_net_tpu.data.schema import make_batch
+
+    sample = {
+        "inp_feats": np.zeros((8, 7), np.float32),
+        "inp_voxel_idx": np.zeros((8, 3), np.int32),
+        "tmp_feats": np.zeros((8, 7), np.float32),
+        "tmp_voxel_idx": np.zeros((8, 3), np.int32),
+        "rot_gt": np.eye(3, dtype=np.float32),
+        "trans_gt": np.zeros(3, np.float32),
+        "obj_idx": np.int32(0), "sym_flag": np.float32(0.0), "valid": 1.0,
+    }
+    lost = dict(sample, valid=0.0)
+    b = make_batch([sample, lost], pad_to=4)
+    np.testing.assert_array_equal(b.pad, [0.0, 0.0, 1.0, 1.0])
+    np.testing.assert_array_equal(b.valid, [1.0, 0.0, 0.0, 0.0])
+    # pad_to smaller than the sample count must raise, not truncate
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_batch([sample, lost, sample], pad_to=2)
+
+
 def test_production_config_both_stages(rng):
     """The TPU production configuration (bf16 compute + pallas interp +
     template cache) through BOTH evaluator stages and a train step, on CPU
