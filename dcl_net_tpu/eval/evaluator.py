@@ -28,6 +28,28 @@ from dcl_net_tpu.eval.metrics import (
 from dcl_net_tpu.models.refiner import refine_pose
 
 
+def _jit_run(mesh, fn, n_state_args: int):
+    """Jit an eval step with EXPLICIT shardings when a mesh is present.
+
+    Mirrors make_parallel_train_step (parallel/mesh.py): the first
+    `n_state_args` arguments (variable pytrees) are pinned replicated, the
+    batch is pinned leading-axis-sharded over the `data` axis, and the
+    per-instance outputs are pinned sharded — so a mis-placed batch or
+    variable tree fails loudly at dispatch instead of silently running
+    replicated via GSPMD inference."""
+    if mesh is None:
+        return jax.jit(fn)
+    from dcl_net_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    repl = replicated_sharding(mesh)
+    shard = batch_sharding(mesh)
+    return jax.jit(
+        fn,
+        in_shardings=(repl,) * n_state_args + (shard,),
+        out_shardings=shard,
+    )
+
+
 class Evaluator:
     """Stage-1 evaluator.
 
@@ -100,9 +122,12 @@ class Evaluator:
         self._tmp_cache = None
         if template_bank is not None:
             tmp_cache = self._encode_template_bank(template_bank)
+            if mesh is not None:
+                from dcl_net_tpu.parallel.mesh import replicate
+
+                tmp_cache = replicate(tmp_cache, mesh)
             self._tmp_cache = tmp_cache
 
-            @jax.jit
             def run(variables, batch):
                 obs = model.apply(
                     variables, batch, train=False,
@@ -115,12 +140,11 @@ class Evaluator:
                 return score(out, batch)
         else:
 
-            @jax.jit
             def run(variables, batch):
                 out = model.apply(variables, batch, train=False)
                 return score(out, batch)
 
-        self._run = run
+        self._run = _jit_run(mesh, run, n_state_args=1)
 
     def _encode_template_bank(self, bank):
         """Encode all class templates once: [C, M, ...] feature cache."""
@@ -243,6 +267,10 @@ class Stage2Evaluator(Evaluator):
                  model_points: np.ndarray, iterations: int = 2, **kw):
         super().__init__(model, variables, model_points, **kw)
         self.refiner = refiner
+        if self.mesh is not None:
+            from dcl_net_tpu.parallel.mesh import replicate
+
+            refiner_variables = replicate(refiner_variables, self.mesh)
         self.refiner_variables = refiner_variables
         self.iterations = iterations
 
@@ -250,7 +278,6 @@ class Stage2Evaluator(Evaluator):
         refiner_apply = refiner.apply
         tmp_cache = getattr(self, "_tmp_cache", None)
 
-        @jax.jit
         def run(variables, refiner_vars, batch):
             if tmp_cache is not None:
                 obs = model.apply(variables, batch, train=False,
@@ -279,6 +306,7 @@ class Stage2Evaluator(Evaluator):
             )
             return {"adds": adds, "add": add, "rot_pred": rot, "trans_pred": trans}
 
-        self._run = lambda variables, batch: run(
+        jitted = _jit_run(self.mesh, run, n_state_args=2)
+        self._run = lambda variables, batch: jitted(
             variables, self.refiner_variables, batch
         )

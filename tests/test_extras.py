@@ -42,6 +42,77 @@ def test_wigner_orthogonal_higher_l():
         np.testing.assert_allclose(d @ d.T, np.eye(2 * l + 1), atol=1e-9)
 
 
+def test_wigner_matches_reference_constants():
+    """Cross-check geometry/wigner.py against the reference's own Wigner-D
+    machinery (reference utils/transform3D.py:156-397 + the shipped
+    utils/new_constants.pt J-matrices, loaded with CPU torch).
+
+    The two use different real-SH conventions (the reference follows e3nn's
+    Y-is-polar-axis ordering; ours is the standard Z-polar complex-to-real
+    transform), so entrywise equality is not expected. The meaningful claim
+    is REPRESENTATION EQUIVALENCE: for each degree l there is one fixed
+    orthogonal intertwiner P_l, independent of the rotation, with
+    D_ref(R) = P_l @ D_ours(R) @ P_l.T for every R. By Schur's lemma the
+    intertwiner space of an irreducible real representation of this type is
+    1-dimensional, so we (a) solve for P_l from a few sample rotations,
+    (b) assert the nullspace is exactly 1-dimensional and P_l orthogonal,
+    (c) verify the conjugation on FRESH rotations to 1e-8. Any error in the
+    small-d formula or basis transform that is not itself a global fixed
+    basis change fails this test.
+    """
+    import importlib.util
+    import os
+
+    import pytest
+
+    ref_path = "/root/reference/utils/transform3D.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference checkout not available")
+    torch = pytest.importorskip("torch")
+
+    spec = importlib.util.spec_from_file_location("ref_transform3D", ref_path)
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    rng = np.random.RandomState(7)
+
+    def random_rotation():
+        q, _ = np.linalg.qr(rng.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        return q
+
+    def d_ref(l, r):
+        rt = torch.as_tensor(r, dtype=torch.float64)[None]
+        return ref.D_from_matrix(rt, l)[0].numpy()
+
+    fit_rots = [random_rotation() for _ in range(3)]
+    test_rots = [random_rotation() for _ in range(3)]
+
+    for l in (0, 1, 2, 3, 4):
+        n = 2 * l + 1
+        eye = np.eye(n)
+        # D_ref(R) P - P D_ours(R) = 0, row-major vec:
+        # (D_ref ⊗ I - I ⊗ D_ours^T) vec(P) = 0
+        rows = [
+            np.kron(d_ref(l, r), eye) - np.kron(eye, wigner.D_from_matrix(l, r).T)
+            for r in fit_rots
+        ]
+        _, s, vt = np.linalg.svd(np.concatenate(rows, axis=0))
+        # 1-dimensional nullspace (Schur): smallest singular value ~0,
+        # second-smallest bounded away from 0
+        assert s[-1] < 1e-10
+        if n > 1:
+            assert s[-2] > 1e-3
+        p = vt[-1].reshape(n, n)
+        p *= np.sqrt(n) / np.linalg.norm(p)  # normalize to orthogonal
+        np.testing.assert_allclose(p @ p.T, eye, atol=1e-8)
+        for r in test_rots:
+            np.testing.assert_allclose(
+                d_ref(l, r), p @ wigner.D_from_matrix(l, r) @ p.T, atol=1e-8
+            )
+
+
 def test_pointnet_sa_and_fp_modules(rng):
     from dcl_net_tpu.ops.pointnet_modules import (
         PointnetSAModuleMSG,
