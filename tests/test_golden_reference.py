@@ -1,0 +1,424 @@
+"""Golden parity against the REFERENCE'S OWN torch modules.
+
+Unlike test_converter.py (layer-family twins), the torch side here is the
+reference's actual code, imported from /root/reference with its CUDA-only
+dependencies stubbed in sys.modules:
+
+  - models/Modules.py:58-201  -> BasicBlock_3DCONV, Aligner,
+    Head_MultiLayerPerceptron (needs fake `spconv` + `libs.pointnet_sp`)
+  - models/DCL_Net.py:15-36   -> ortho9d2matrix (module-level, importable
+    without instantiating Network)
+  - models/DCL_Net.py:261-311 -> the `losses` class
+  - models/refiner.py:5-133   -> Refiner + losses_refiner
+
+The composed post-backbone chain is assembled from those imported classes
+with the exact constructor arguments of Network.__init__ (models/
+DCL_Net.py:56-153) and the exact wiring of Network.forward (:188-235), so a
+transcription error in a hand-written twin cannot hide: every learned layer,
+activation order, BN placement, attention direction, confidence pooling and
+the SVD orthogonalization run the reference's own code. `.cuda()` calls
+inside the reference are neutralized by a no-op Tensor.cuda patch (CPU-only
+torch in this environment).
+
+Weights flow reference -> ours through convert_reference_state_dict on the
+reference modules' state_dict (the real checkpoint key naming), then both
+sides consume identical inputs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dcl_net_tpu.data.schema import make_batch  # noqa: E402
+from dcl_net_tpu.data.synthetic import SyntheticPoseDataset  # noqa: E402
+from dcl_net_tpu.models import DCLNet, Refiner, dcl_losses  # noqa: E402
+from dcl_net_tpu.models.refiner import refiner_losses  # noqa: E402
+from dcl_net_tpu.train.checkpoints import convert_reference_state_dict  # noqa: E402
+
+REF_ROOT = "/root/reference"
+
+GRID = (16, 16, 16)
+UNIT = (0.024, 0.024, 0.024)
+N = 128
+
+
+def _knn_cpu(k, unknown, known):
+    """CPU stand-in for libs/pointnet_lib's CUDA knn (pointnet2_utils.py:
+    78-105): brute-force smallest-k, returns (sqrt distances, int32 idx)."""
+    d2 = ((unknown[:, :, None, :] - known[:, None, :, :]) ** 2).sum(-1)
+    vals, idx = torch.topk(d2, k, dim=2, largest=False)
+    return torch.sqrt(vals), idx.int()
+
+
+def _install_reference_stubs():
+    """Inject fake CUDA-extension modules so the reference's model files
+    import on CPU (the classes under test never call into them)."""
+
+    def module(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        m.__path__ = []  # behave like a package for submodule imports
+        sys.modules[name] = m
+        return m
+
+    class _Placeholder:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("stub spconv layer must not be instantiated")
+
+    if "spconv" not in sys.modules or not hasattr(
+        sys.modules["spconv"], "_dcl_tpu_stub"
+    ):
+        module(
+            "spconv",
+            _dcl_tpu_stub=True,
+            SparseConv3d=_Placeholder,
+            SubMConv3d=_Placeholder,
+            SparseSequential=_Placeholder,
+            SparseAvgPool3d=_Placeholder,
+            SparseMaxPool3d=_Placeholder,
+            SparseConvTensor=_Placeholder,
+        )
+    module("ipdb", set_trace=lambda: None)
+
+    class _NoWriter:
+        def __init__(self, *a, **kw):
+            pass
+
+    module("tensorboardX", SummaryWriter=_NoWriter)
+
+    module("libs")
+    module("libs.pointnet_lib")
+    module("libs.pointnet_lib.pointnet2_utils", knn=_knn_cpu)
+    module("libs.pointnet_sp")
+    module("libs.pointnet_sp.pointnet2_utils", three_nn=None, three_interpolate=None)
+    module("libs.pointgroup_ops")
+    module("libs.pointgroup_ops.functions", pointgroup_ops=types.SimpleNamespace())
+
+    # the reference calls .cuda() on tensors inside forward/ortho9d2matrix;
+    # CPU-only torch: make it the identity
+    torch.Tensor.cuda = lambda self, *a, **kw: self
+
+
+@pytest.fixture(scope="module")
+def refmods():
+    """Import the reference's model modules with stubs installed."""
+    import os
+
+    if not os.path.isdir(REF_ROOT):
+        pytest.skip("reference checkout not available")
+    _install_reference_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    import models.DCL_Net as ref_dcl  # noqa: PLC0415
+    import models.Modules as ref_mod  # noqa: PLC0415
+    import models.refiner as ref_refiner  # noqa: PLC0415
+
+    return ref_mod, ref_dcl, ref_refiner
+
+
+def _build_ref_post_backbone(ref_mod, ref_dcl):
+    """The reference Network's post-backbone stages, built from the
+    REFERENCE'S OWN classes with Network.__init__'s exact arguments
+    (models/DCL_Net.py:56-153) and Network.forward's exact wiring
+    (:188-235)."""
+    from functools import partial
+
+    common = {"size": 1, "bias": False, "stride": 1, "padding": 0,
+              "norm": True, "act": "relu", "drop": 0.0}
+    blk = partial(ref_mod.BasicBlock_3DCONV, **common)
+    head = ref_mod.Head_MultiLayerPerceptron
+
+    class RefPostBackbone(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            mk_p = lambda: tnn.Sequential(blk(dim_in=480, dim_out=256),
+                                          blk(dim_in=256, dim_out=256))
+            mk_m = lambda: tnn.Sequential(blk(dim_in=480, dim_out=256),
+                                          blk(dim_in=256, dim_out=64))
+            self.disengage_Xc_p1 = mk_p()
+            self.disengage_Xc_m1 = mk_m()
+            self.disengage_Yo_p1 = mk_p()
+            self.disengage_Yo_m1 = mk_m()
+            self.disengage_Xc_p2 = mk_p()
+            self.disengage_Xc_m2 = mk_m()
+            self.disengage_Yo_p2 = mk_p()
+            self.disengage_Yo_m2 = mk_m()
+            self.neck_cross_att = ref_mod.Aligner()
+            reg = lambda din, dims: head(
+                [din] + dims, ["relu", "relu", "none"], [False] * 3, [0.0] * 3)
+            self.regressor_Xo = reg(256, [256, 128, 3])
+            self.regressor_Yc = reg(256, [256, 128, 3])
+            self.regressor_conf = reg(64 * 2, [128, 128, 1])
+            self.regressor_conf_bi = reg(64 * 2, [128, 128, 1])
+            fuser = lambda: head([256 * 2, 512, 512, 1024], ["relu"] * 3,
+                                 [True] * 3, [0.0] * 3)
+            self.neck_fuser = fuser()
+            self.neck_fuser_bi = fuser()
+            self.regressor_rot = reg(1024, [512, 128, 9])
+            self.regressor_trans = reg(1024, [512, 128, 3])
+
+        def forward(self, f_xc, f_yo):
+            # f_xc: [B, 480, N], f_yo: [B, 480, M]; wiring is
+            # models/DCL_Net.py:188-235 verbatim
+            as5d = lambda f: f[:, :, :, None, None]
+            sq = lambda f: f.squeeze(-1).squeeze(-1)
+            F_Xc, F_Yo = as5d(f_xc), as5d(f_yo)
+            F_Xc_p1 = sq(self.disengage_Xc_p1(F_Xc))
+            F_Xc_m1 = sq(self.disengage_Xc_m1(F_Xc))
+            F_Xc_p2 = sq(self.disengage_Xc_p2(F_Xc))
+            F_Xc_m2 = sq(self.disengage_Xc_m2(F_Xc))
+            F_Yo_p1 = sq(self.disengage_Yo_p1(F_Yo))
+            F_Yo_m1 = sq(self.disengage_Yo_m1(F_Yo))
+            F_Yo_p2 = sq(self.disengage_Yo_p2(F_Yo))
+            F_Yo_m2 = sq(self.disengage_Yo_m2(F_Yo))
+
+            F_Xo_p, attention_map = self.neck_cross_att(F_Xc_m1, F_Yo_m1, F_Yo_p1)
+            Xo_pred = self.regressor_Xo(F_Xo_p)
+            F_Yc_p, attention_map_bi = self.neck_cross_att(F_Yo_m2, F_Xc_m2, F_Xc_p2)
+            Yc_pred = self.regressor_Yc(F_Yc_p)
+
+            F_Xo_m = torch.bmm(F_Yo_m1, attention_map)
+            F_m1 = torch.cat([F_Xc_m1, F_Xo_m], dim=1)
+            F_Yc_m = torch.bmm(F_Xc_m2, attention_map_bi)
+            F_m2 = torch.cat([F_Yc_m, F_Yo_m2], dim=1)
+            conf = torch.sigmoid(torch.cat(
+                [self.regressor_conf(F_m1), self.regressor_conf_bi(F_m2)], dim=2))
+            conf_softmax = torch.softmax(conf, dim=2)
+
+            F_p1 = self.neck_fuser(torch.cat([F_Xc_p1, F_Xo_p], dim=1))
+            F_p2 = self.neck_fuser_bi(torch.cat([F_Yc_p, F_Yo_p2], dim=1))
+            F_p = torch.cat([F_p1, F_p2], dim=2)
+            F_p_wei = torch.sum(F_p * conf_softmax, dim=2, keepdim=True)
+
+            ortho9d = self.regressor_rot(F_p_wei).squeeze(-1)
+            rot = ref_dcl.ortho9d2matrix(
+                ortho9d[:, :3], ortho9d[:, 3:6], ortho9d[:, 6:])
+            trans = self.regressor_trans(F_p_wei).squeeze(-1)
+            return {
+                "rot_pred": rot, "trans_pred": trans, "conf": conf.squeeze(1),
+                "Xo_pred": Xo_pred.transpose(1, 2),
+                "Yc_pred": Yc_pred.transpose(1, 2),
+                "F_Xo_p": F_Xo_p,
+            }
+
+    return RefPostBackbone()
+
+
+def _randomize_bn(module, rng):
+    for m in module.modules():
+        if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm3d)):
+            with torch.no_grad():
+                m.running_mean.copy_(torch.tensor(rng.randn(m.num_features) * 0.1))
+                m.running_var.copy_(torch.tensor(rng.rand(m.num_features) + 0.5))
+                m.weight.copy_(torch.tensor(rng.randn(m.num_features) * 0.2 + 1))
+                m.bias.copy_(torch.tensor(rng.randn(m.num_features) * 0.1))
+
+
+@pytest.fixture(scope="module")
+def setup(refmods):
+    ref_mod, ref_dcl, _ = refmods
+    rng = np.random.RandomState(11)
+    torch.manual_seed(11)
+    tmodel = _build_ref_post_backbone(ref_mod, ref_dcl)
+    _randomize_bn(tmodel, rng)
+    tmodel.eval()
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+          if "num_batches" not in k}
+    converted = convert_reference_state_dict(sd)
+
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=N, unit_voxel_extent=UNIT, voxel_num_limit=GRID,
+        seed=7,
+    )
+    batch = jax.tree.map(jnp.asarray, make_batch([ds[i] for i in range(2)]).to_dict())
+
+    model = DCLNet(
+        unit_voxel_extent=UNIT, voxel_num_limit=GRID, n_inp=N, n_tmp=N,
+        capacities=(256, 64, 16, 8),
+    )
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    params.update(converted["params"])
+    stats.update(converted["batch_stats"])
+    merged = {"params": params, "batch_stats": stats}
+    return tmodel, model, merged, batch
+
+
+def test_composed_forward_matches_reference_code(setup):
+    """Our full post-backbone forward vs the reference's own classes on
+    identical 480-d features and identical (converted) weights."""
+    tmodel, model, variables, batch = setup
+
+    ours = model.apply(variables, batch, train=False)
+
+    def get_feats(mdl, b):
+        _, fx = mdl._encode(mdl.backbone_inp, mdl.point_feats_inp,
+                            b["inp"]["feats"], b["inp"]["voxel_idx"], False)
+        _, fy = mdl._encode(mdl.backbone_tmp, mdl.point_feats_tmp,
+                            b["tmp"]["feats"], b["tmp"]["voxel_idx"], False)
+        return fx, fy
+
+    fx, fy = model.apply(variables, batch, method=get_feats)
+    with torch.no_grad():
+        ref = tmodel(
+            torch.tensor(np.asarray(fx)).permute(0, 2, 1).contiguous(),
+            torch.tensor(np.asarray(fy)).permute(0, 2, 1).contiguous(),
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(ours["Xo_pred"]), ref["Xo_pred"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["Yc_pred"]), ref["Yc_pred"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["conf"]), ref["conf"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["trans_pred"]), ref["trans_pred"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["rot_pred"]), ref["rot_pred"].numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours["F_Xo_p"]),
+        ref["F_Xo_p"].permute(0, 2, 1).numpy(), atol=2e-4)
+
+
+def test_loss_stack_matches_reference_code(setup, refmods):
+    """Our loss stack vs the reference's own `losses` class
+    (models/DCL_Net.py:261-311) on identical predictions."""
+    _, ref_dcl, _ = refmods
+    _, model, variables, batch = setup
+    ours_pred = model.apply(variables, batch, train=False)
+    ours_losses = dcl_losses(ours_pred, batch)
+
+    t = lambda x: torch.tensor(np.asarray(x))
+    ref_loss_mod = ref_dcl.losses(cfg=None)
+    loss_inp_pred = {
+        "rot_pred": t(ours_pred["rot_pred"]),
+        "trans_pred": t(ours_pred["trans_pred"]),
+        "sym_flag": t(batch["sym_flag"]),
+        "conf": t(ours_pred["conf"]),
+        "Xo_pred": t(ours_pred["Xo_pred"]),
+        "Yc_pred": t(ours_pred["Yc_pred"]),
+    }
+    loss_inp_gt = {
+        "rot_gt": t(batch["labels"]["rot_gt"]),
+        "trans_gt": t(batch["labels"]["trans_gt"]),
+        "points_tmp": t(ours_pred["points_tmp"]),
+        "points_inp": t(ours_pred["points_inp"]),
+    }
+    with torch.no_grad():
+        ref_losses = ref_loss_mod(loss_inp_pred, loss_inp_gt)
+
+    for k in ("loss_pose", "loss_Xo", "loss_Yc", "loss_conf", "loss_all"):
+        np.testing.assert_allclose(
+            float(ours_losses[k]), float(ref_losses[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_refiner_matches_reference_code(refmods):
+    """Our Refiner vs the reference's own Refiner (models/refiner.py:57-95)
+    on identical inputs and converted weights. n=1024 because the reference
+    hardcodes the conf-softmax truncation at 1024 (:81)."""
+    _, _, ref_refiner = refmods
+    rng = np.random.RandomState(3)
+    torch.manual_seed(3)
+    n, b = 1024, 2
+
+    tref = ref_refiner.Refiner(cfg=None)
+    tref.eval()
+    sd = {k: v.numpy() for k, v in tref.state_dict().items()}
+    converted = convert_reference_state_dict(sd)
+
+    feats = rng.randn(b, n, 259).astype(np.float32)
+    conf = rng.rand(b, 2 * n).astype(np.float32) * 0.9 + 0.05
+
+    ours = Refiner(n_inp=n)
+    out = ours.apply(
+        {"params": converted["params"]},
+        {"input_features": jnp.asarray(feats), "conf": jnp.asarray(conf)},
+    )
+    with torch.no_grad():
+        ref_out = tref({
+            "input_features": torch.tensor(feats).permute(0, 2, 1).contiguous(),
+            "conf": torch.tensor(conf),
+        })
+
+    np.testing.assert_allclose(
+        np.asarray(out["trans_pred"]), ref_out["trans_pred"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["rot_pred"]), ref_out["rot_pred"].numpy(), atol=5e-4)
+
+
+def test_refiner_losses_match_reference_code(refmods):
+    """Our refiner_losses vs the reference's own losses_refiner
+    (models/refiner.py:99-125) on identical inputs."""
+    _, _, ref_refiner = refmods
+    rng = np.random.RandomState(5)
+    b, p = 4, 64
+
+    def rot(r):
+        q, _ = np.linalg.qr(r.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        return q.astype(np.float32)
+
+    pts = rng.randn(b, p, 3).astype(np.float32) * 0.05
+    rot_cur = np.stack([rot(rng) for _ in range(b)])
+    rot_gt = np.stack([rot(rng) for _ in range(b)])
+    drot = np.stack([rot(rng) for _ in range(b)])
+    trans_cur = rng.randn(b, 3).astype(np.float32) * 0.02
+    trans_gt = rng.randn(b, 3).astype(np.float32) * 0.02
+    dtrans = rng.randn(b, 3).astype(np.float32) * 0.01
+    sym = np.array([0, 1, 0, 1], np.float32)
+
+    pred = {"rot_pred": jnp.asarray(drot), "trans_pred": jnp.asarray(dtrans)}
+    ours = refiner_losses(
+        pred, jnp.asarray(trans_cur), jnp.asarray(rot_cur), jnp.asarray(pts),
+        jnp.asarray(sym), jnp.asarray(rot_gt), jnp.asarray(trans_gt),
+    )
+
+    t = torch.tensor
+    ref_mod = ref_refiner.losses_refiner(cfg=None)
+    with torch.no_grad():
+        ref = ref_mod(
+            {"rot_pred": t(drot), "trans_pred": t(dtrans)},
+            t(trans_cur), t(rot_cur), t(pts), t(sym),
+            {"rot_gt": t(rot_gt), "trans_gt": t(trans_gt)},
+        )
+    np.testing.assert_allclose(
+        float(ours["loss_pose"]), float(ref["loss_pose"]), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        float(ours["loss_all"]), float(ref["loss_all"]), rtol=1e-5, atol=1e-7)
+
+
+def test_ortho9d_matches_reference_code(refmods):
+    """ortho9d2matrix: our SVD orthogonalization vs the reference's
+    (models/DCL_Net.py:15-36) on the same raw 9D inputs."""
+    from dcl_net_tpu.geometry.rotation import ortho9d_to_matrix
+
+    _, ref_dcl, _ = refmods
+    rng = np.random.RandomState(9)
+    raw = rng.randn(8, 9).astype(np.float32)
+
+    ours = ortho9d_to_matrix(
+        jnp.asarray(raw[:, :3]), jnp.asarray(raw[:, 3:6]), jnp.asarray(raw[:, 6:])
+    )
+    with torch.no_grad():
+        ref = ref_dcl.ortho9d2matrix(
+            torch.tensor(raw[:, :3]), torch.tensor(raw[:, 3:6]),
+            torch.tensor(raw[:, 6:]),
+        )
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-4)
+    # proper rotations both sides
+    dets = np.linalg.det(np.asarray(ours))
+    np.testing.assert_allclose(dets, 1.0, atol=1e-5)
