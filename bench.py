@@ -19,11 +19,13 @@ baseline estimate:
     train samples/sec as the training-side metric).
 
 vs_baseline: the reference publishes no throughput numbers
-(BASELINE.json "published": {}); we anchor against an estimated 30
-instances/sec for its torch 1.3 + spconv CUDA eval pipeline
-(single-instance batches, ~33 ms/frame — typical for spconv-era RGB-D pose
-pipelines). The estimate is labeled as such; the MFU numbers above are the
-self-standing measurement.
+(BASELINE.json "published": {}); the anchor is DERIVED from the reference's
+own per-frame dispatch structure — ~1300 kernel launches + 10-16 stream
+syncs per keyframe forward, 4.7 instances/frame — in
+docs/BASELINE_DERIVATION.md: central estimate 150 inst/s (30 ms/frame),
+zero-compute structural ceiling 500 inst/s (reported as
+extra.vs_baseline_ceiling). Both are labeled estimates; the MFU numbers
+are the self-standing measurement.
 
 Methodology: on this TPU attach path block_until_ready() returns before
 execution finishes and host transfers are slow, so each timed iteration
@@ -37,7 +39,11 @@ import time
 
 import numpy as np
 
-BASELINE_INSTANCES_PER_SEC = 30.0  # estimate, see module docstring
+# docs/BASELINE_DERIVATION.md: central estimate of the reference pipeline's
+# YCBV eval throughput (30 ms/frame x 4.7 inst/frame); its zero-compute
+# structural ceiling is BASELINE_CEILING (launch/sync floor alone)
+BASELINE_INSTANCES_PER_SEC = 150.0
+BASELINE_CEILING_INSTANCES_PER_SEC = 500.0
 
 # bf16 matmul peak FLOPs/s per chip by device kind (MXU).
 _PEAK_FLOPS = {
@@ -263,6 +269,11 @@ def main():
             "peak_flops_assumed": peak,
             "config": "bf16 + pallas interp + per-class template cache",
             "baseline_is_estimate": True,
+            "baseline_derivation": "docs/BASELINE_DERIVATION.md",
+            "baseline_ceiling_instances_per_sec": BASELINE_CEILING_INSTANCES_PER_SEC,
+            "vs_baseline_ceiling": round(
+                float(inst_per_sec) / BASELINE_CEILING_INSTANCES_PER_SEC, 3
+            ),
         },
     }))
 

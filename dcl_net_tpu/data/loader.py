@@ -1,9 +1,18 @@
 """Host-side batch loaders with background prefetch.
 
 Replaces torch DataLoader + collate (reference tools/train_YCBV_stage1.py:
-262-271): a thread pool maps dataset.__getitem__, samples are stacked into
+262-271): a worker pool maps dataset.__getitem__, samples are stacked into
 fixed-shape PoseBatches (schema.make_batch), and batches are prefetched so
 host IO overlaps device compute. No torch dependency.
+
+Workers are threads by default (zero-copy, fine for synthetic/in-memory
+datasets and for IO that releases the GIL) or PROCESSES
+(worker_type="process"), matching the reference's 10 DataLoader worker
+processes for real PNG/.mat decoding where the Python-side preprocessing
+holds the GIL (reference configs/config_YCBV_bs32.yaml workers,
+tools/train_YCBV_stage1.py:262-271). Process workers fork once per pool and
+receive the dataset through the initializer, so per-item dispatch pickles
+only indices and results.
 """
 
 from __future__ import annotations
@@ -16,6 +25,60 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from dcl_net_tpu.data.schema import make_batch
+
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_get(i):
+    return _WORKER_DATASET[int(i)]
+
+
+class _ProcessPool:
+    """Thin ThreadPoolExecutor-shaped wrapper over multiprocessing.Pool so
+    the loaders can swap worker types without restructuring."""
+
+    def __init__(self, num_workers: int, dataset):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")  # cheap dataset inheritance on Linux
+        self._pool = ctx.Pool(
+            num_workers, initializer=_init_worker, initargs=(dataset,)
+        )
+        self._num_workers = num_workers
+
+    def map(self, _fn, indices):
+        chunk = max(1, len(list(indices)) // (self._num_workers * 2))
+        return self._pool.map(_worker_get, [int(i) for i in indices], chunk)
+
+    def submit(self, _fn, i):
+        ar = self._pool.apply_async(_worker_get, (int(i),))
+
+        class _Fut:  # .result() like concurrent.futures
+            def result(self, timeout=None):
+                return ar.get(timeout)
+
+        return _Fut()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._pool.terminate()
+        self._pool.join()
+        return False
+
+
+def _make_pool(worker_type: str, num_workers: int, dataset):
+    if worker_type == "process":
+        return _ProcessPool(num_workers, dataset)
+    if worker_type == "thread":
+        return ThreadPoolExecutor(max_workers=num_workers)
+    raise ValueError(f"worker_type must be 'thread' or 'process', got {worker_type!r}")
 
 
 class BatchLoader:
@@ -31,12 +94,14 @@ class BatchLoader:
         seed: int = 0,
         prefetch: int = 4,
         to_jax: bool = True,
+        worker_type: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.worker_type = worker_type
         self.seed = seed
         self.prefetch = prefetch
         self.to_jax = to_jax
@@ -85,7 +150,8 @@ class BatchLoader:
 
         def produce():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                with _make_pool(self.worker_type, self.num_workers,
+                                self.dataset) as pool:
                     for b in batches:
                         if stop.is_set():
                             return
@@ -132,13 +198,14 @@ class EvalFrameLoader:
     valid=0 rows with correct labels."""
 
     def __init__(self, dataset, batch_size: int = 16, num_workers: int = 8,
-                 to_jax: bool = True):
+                 to_jax: bool = True, worker_type: str = "thread"):
         # to_jax kept for BatchLoader signature parity; batches are emitted
         # as numpy either way (jit converts on dispatch)
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.to_jax = to_jax
+        self.worker_type = worker_type
 
     def __iter__(self):
         pending: List[dict] = []
@@ -156,7 +223,8 @@ class EvalFrameLoader:
             from collections import deque
 
             window = max(2 * self.num_workers, 4)
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            with _make_pool(self.worker_type, self.num_workers,
+                            self.dataset) as pool:
                 futs = deque()
                 for i in range(len(self.dataset)):
                     futs.append(pool.submit(self.dataset.__getitem__, i))

@@ -53,9 +53,10 @@ def main(argv=None):
         logger=logger, mesh=mesh,
     )
     loader = BatchLoader(
-        dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16)),
+        dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 256)),
         shuffle=False, drop_last=False,
         num_workers=int(cfg.hyper_dataloader_test.get("num_workers", 8)),
+        worker_type=str(cfg.hyper_dataloader_test.get("worker_type", "thread")),
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"mean success rate: {result['success_mean']}")

@@ -46,7 +46,9 @@ def main(argv=None):
         logger=logger, mesh=mesh,
     )
     loader = EvalFrameLoader(
-        dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 16))
+        dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 256)),
+        num_workers=int(cfg.hyper_dataloader_test.get("num_workers", 8)),
+        worker_type=str(cfg.hyper_dataloader_test.get("worker_type", "thread")),
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"ADD-S AUC mean: {result['auc_mean']}  <2cm: {result['acc_mean']}")

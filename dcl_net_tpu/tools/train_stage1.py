@@ -45,6 +45,10 @@ def main(argv=None):
         drop_last=bool(cfg.hyper_dataloader_train.get("drop_last", True)),
         num_workers=int(cfg.hyper_dataloader_train.get("num_workers", 8)),
         seed=int(cfg.get("rd_seed", 1)),
+        # "process" matches the reference's worker processes for real
+        # PNG/.mat decoding (GIL-bound preprocessing); threads are fine for
+        # in-memory/synthetic datasets (scripts/bench_loader.py numbers)
+        worker_type=str(cfg.hyper_dataloader_train.get("worker_type", "thread")),
     )
     writer = ScalarWriter(cfg.log_dir)
     mesh = build_mesh(cfg, args)

@@ -74,6 +74,7 @@ def main(argv=None):
         dataset, batch_size=bs,
         num_workers=int(cfg.hyper_dataloader_train.get("num_workers", 8)),
         seed=int(cfg.get("rd_seed", 1)),
+        worker_type=str(cfg.hyper_dataloader_train.get("worker_type", "thread")),
     )
 
     n_tmp = int(cfg.model.n_tmp)

@@ -311,11 +311,12 @@ class Solver:
         while self.epoch < max_epoch:
             self.train_epoch()
             self.epoch += 1
-            if self.checkpoint_dir and (self.epoch % per_save == 0):
+            # per_save/per_val <= 0 disables the hook (smoke configs)
+            if self.checkpoint_dir and per_save > 0 and (self.epoch % per_save == 0):
                 from dcl_net_tpu.train.checkpoints import save_checkpoint
 
                 save_checkpoint(self.checkpoint_dir, self.state, self.epoch)
-            if self.eval_fn and (self.epoch % per_val == 0):
+            if self.eval_fn and per_val > 0 and (self.epoch % per_val == 0):
                 scalars = self.eval_fn(self.state, self.epoch)
                 if scalars:
                     if self.logger:

@@ -1,0 +1,91 @@
+"""Real-file input-pipeline benchmark (VERDICT r2 item: prove the loader
+can keep up with the device).
+
+Materializes a synthetic YCBV-format tree on disk (color/depth/label PNGs +
+meta.mat per frame — the exact file set the reference's 10 worker processes
+decode, reference YCBV/dataloader_train_YCBV.py:105-210) and measures
+YCBVTrainDataset.__getitem__ throughput through BatchLoader with thread vs
+process workers.
+
+Target: >= the measured device training rate (244 samples/s/chip at B=128,
+BENCH_r02). This box exposes a single core, so the numbers here are
+PER-CORE rates; the process pool scales them on multi-core hosts (the
+reference assumes 10 cores for its worker count).
+
+Usage: python scripts/bench_loader.py [--frames 48] [--iters 3]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=2, help="epochs per config")
+    ap.add_argument("--workers", type=int, default=max(os.cpu_count(), 1))
+    args = ap.parse_args()
+
+    from dcl_net_tpu.config import Config
+    from dcl_net_tpu.data.loader import BatchLoader
+    from dcl_net_tpu.data.ycbv import YCBVTrainDataset
+    from tests.fixtures import make_ycbv_fixture
+
+    cfg = Config({
+        "input_size": 1024, "tmp_size": 1024,
+        "unit_voxel_extent": [0.006, 0.006, 0.006],
+        "voxel_num_limit": [64, 64, 64],
+        "voxelization_mode": 4,
+    })
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        root, assets = make_ycbv_fixture(
+            tmp, n_classes=3, n_frames=args.frames, seed=0
+        )
+        print(f"fixture: {args.frames} frames in {time.perf_counter()-t0:.1f}s "
+              f"(color+depth+label PNG + meta.mat each)")
+        ds = YCBVTrainDataset(cfg, root, assets_dir=assets)
+
+        # raw single-threaded __getitem__ (decode + lift + aug + voxel index)
+        n_raw = min(len(ds), 64)
+        t0 = time.perf_counter()
+        for i in range(n_raw):
+            ds[i % len(ds)]
+        raw_dt = (time.perf_counter() - t0) / n_raw
+        print(f"raw __getitem__: {raw_dt*1e3:.1f} ms/sample "
+              f"({1/raw_dt:.1f} samples/s single-core)")
+
+        for worker_type in ("thread", "process"):
+            loader = BatchLoader(
+                ds, batch_size=args.batch, num_workers=args.workers,
+                seed=0, to_jax=False, worker_type=worker_type,
+            )
+            # warm epoch (page cache, pool spin-up) then timed epochs
+            best = None
+            for it in range(args.iters + 1):
+                t0 = time.perf_counter()
+                n = 0
+                for batch in loader:
+                    n += batch["valid"].shape[0]
+                dt = time.perf_counter() - t0
+                if it > 0:
+                    best = dt if best is None else min(best, dt)
+            rate = n / best
+            print(f"BatchLoader[{worker_type} x{args.workers}]: "
+                  f"{rate:.1f} samples/s ({n} samples/epoch, best {best:.2f}s)")
+
+    print(f"device rate to beat: 244 samples/s (B=128, BENCH_r02); "
+          f"cores here: {os.cpu_count()}")
+
+
+if __name__ == "__main__":
+    main()

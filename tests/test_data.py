@@ -86,6 +86,38 @@ def test_ycbv_train_dataset(ycbv_dirs):
     assert batches[0]["inp"]["feats"].shape == (2, 256, 7)
 
 
+def test_process_worker_loader_matches_thread(ycbv_dirs):
+    """worker_type="process" (reference parity: 10 DataLoader worker
+    processes) must deliver the same batch STRUCTURE as threads. Contents
+    are not bit-compared: the train dataset draws from np.random per call,
+    so worker scheduling legitimately changes the augmentation stream —
+    what must match is the batch schema, shapes and validity protocol."""
+    from dcl_net_tpu.data.ycbv import YCBVTrainDataset
+
+    root, assets = ycbv_dirs
+    ds = YCBVTrainDataset(CFG, root, assets_dir=assets)
+    thread = list(iter(BatchLoader(
+        ds, batch_size=2, num_workers=2, to_jax=False, worker_type="thread")))
+    proc = list(iter(BatchLoader(
+        ds, batch_size=2, num_workers=2, to_jax=False, worker_type="process")))
+    assert len(proc) == len(thread) == 1
+    for k in ("inp", "tmp"):
+        assert proc[0][k]["feats"].shape == thread[0][k]["feats"].shape
+        assert proc[0][k]["voxel_idx"].dtype == thread[0][k]["voxel_idx"].dtype
+    assert proc[0]["valid"].shape == thread[0]["valid"].shape
+    # template branch is deterministic given the class -> every row's tmp
+    # feats must be bit-identical to the class's canonical template,
+    # whichever worker produced it
+    bank = ds.template_bank()
+    for batch in (proc[0], thread[0]):
+        for i in range(2):
+            if batch["valid"][i] <= 0:
+                continue
+            c = int(batch["labels"]["obj_idx"][i])
+            np.testing.assert_array_equal(
+                np.asarray(batch["tmp"]["feats"][i]), bank["feats"][c])
+
+
 def test_ycbv_test_dataset_and_lost(ycbv_dirs):
     from dcl_net_tpu.data.ycbv import YCBVTestDataset
 

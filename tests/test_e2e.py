@@ -10,6 +10,7 @@ is finite and within the geometric sanity range of the synthetic scenes.
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from dcl_net_tpu.config import Config
@@ -26,6 +27,7 @@ N = 64
 N_OBJ = 3
 
 
+@pytest.mark.slow
 def test_solver_to_evaluator_full_loop():
     cfg = Config({
         "optimizer": {"type": "Adam", "lr": 1e-3, "betas": [0.5, 0.999], "eps": 1e-6},

@@ -1,6 +1,7 @@
 """Metric and evaluator tests against hand-computed oracles."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -173,6 +174,7 @@ def test_padding_rows_not_scored_as_lost(rng):
         make_batch([sample, lost, sample], pad_to=2)
 
 
+@pytest.mark.slow
 def test_production_config_both_stages(rng):
     """The TPU production configuration (bf16 compute + pallas interp +
     template cache) through BOTH evaluator stages and a train step, on CPU

@@ -127,6 +127,7 @@ def test_valid_masking_zeroes_padded_rows():
     )
 
 
+@pytest.mark.slow
 def test_overfit_single_batch():
     """Loss must drop substantially on a fixed tiny batch — end-to-end
     gradient flow through voxelization, backbone, attention and SVD."""
@@ -225,6 +226,7 @@ def test_template_cache_equivalence():
         )
 
 
+@pytest.mark.slow
 def test_bf16_compute_pose_drift_bounded():
     """model.compute_dtype=bfloat16 (the fast path: +5% eval, 1.75x train
     step on v5e, docs/PERF.md) must stay metrically indistinguishable from
@@ -264,6 +266,7 @@ def test_bf16_compute_pose_drift_bounded():
     assert trans_mm.max() < 0.5, trans_mm
 
 
+@pytest.mark.slow
 def test_remat_matches_baseline_loss_and_grads():
     """model.remat=True (backbone rematerialization for large-batch training,
     models/dcl_net.py) must be a pure memory/compute trade: identical loss
@@ -296,6 +299,7 @@ def test_remat_matches_baseline_loss_and_grads():
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_default_capacities_have_margin_over_real_occupancy():
     """The default per-level extraction budgets must hold >=2x the pyramid
     occupancy actually produced at the production shapes (1024-pt surface

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from dcl_net_tpu.ops import (
@@ -455,6 +456,7 @@ def test_pallas_compaction_capacity_waste_bound(rng):
     assert int(np.asarray(vm2).sum()) == 8
 
 
+@pytest.mark.slow
 def test_pallas_interp_mode_grad_matches_exact_end_to_end(rng):
     """Full-model gradient: interp_mode='pallas' (compaction + fused 3-NN,
     both custom-VJP) vs interp_mode='exact' — training may default to the

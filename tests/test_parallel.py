@@ -39,6 +39,7 @@ def _setup():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_eight_device_train_step_matches_single_device():
     model, tx = _setup()
     batch = _batch(8)
@@ -63,6 +64,7 @@ def test_eight_device_train_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_solver_on_mesh_matches_single_device():
     """The PRODUCT path: Solver(mesh=...) (what tools/train_stage1.py
     --n_devices engages) must train to the same losses as the single-device
@@ -103,12 +105,14 @@ def test_solver_on_mesh_matches_single_device():
     np.testing.assert_allclose(parallel, single, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_single():
     import __graft_entry__ as ge
 
@@ -118,6 +122,7 @@ def test_graft_entry_single():
     assert bool(jax.numpy.isfinite(out["rot_pred"]).all())
 
 
+@pytest.mark.slow
 def test_evaluator_on_mesh_matches_single_device():
     """Mesh-sharded eval must produce the same distances as single-device."""
     from dcl_net_tpu.eval.evaluator import Evaluator

@@ -1,6 +1,7 @@
 """Solver-layer tests: AutoClip, LR schedules, checkpoint roundtrip."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -197,6 +198,7 @@ def test_solver_eval_hook(tmp_path):
     assert calls == [1, 2]
 
 
+@pytest.mark.slow
 def test_mid_epoch_resume_reproduces_uninterrupted_run(tmp_path):
     """Kill training mid-epoch, resume from the mid-epoch checkpoint, and the
     concatenated metric stream must equal the uninterrupted run's — i.e. the
