@@ -33,17 +33,21 @@ def cross_product(u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 
 def ortho6d_to_matrix(x_raw: jnp.ndarray, y_raw: jnp.ndarray) -> jnp.ndarray:
-    """Gram-Schmidt 6D rotation representation (ref utils/rotation.py:28-39).
+    """Gram-Schmidt 6D rotation representation (ref utils/rotation.py:28-39,
+    utils/transform3D.py:51-72 — both use the same Y-FIRST scheme:
+    y = norm(y_raw), z = norm(x_raw x y), x = y x z).
 
     Args:
       x_raw, y_raw: [..., 3]
     Returns:
       [..., 3, 3] rotation matrices whose COLUMNS are the orthonormal frame,
-      matching the reference's ``torch.cat((x,y,z), 2)`` column stacking.
+      matching the reference's ``torch.cat((x,y,z), 2)`` column stacking;
+      verified against the reference's own imported code
+      (tests/test_golden_reference.py).
     """
-    x = normalize_vector(x_raw)
-    z = normalize_vector(jnp.cross(x, y_raw))
-    y = jnp.cross(z, x)
+    y = normalize_vector(y_raw)
+    z = normalize_vector(jnp.cross(x_raw, y))
+    x = jnp.cross(y, z)
     return jnp.stack([x, y, z], axis=-1)
 
 

@@ -380,6 +380,34 @@ class Solver:
 
         profile_dir = self.cfg.get("profile_dir") or _os.environ.get("DCLX_PROFILE_DIR")
         buffer: Dict[str, list] = {}
+        # 1-deep metric pipelining (cfg.pipeline_metrics, default on): step
+        # k+1 is dispatched BEFORE step k's scalar metrics are fetched, so
+        # the per-dispatch attach latency (~25-30 ms on this backend,
+        # docs/PERF.md) overlaps device compute instead of serializing with
+        # it — the training twin of the Evaluator's dispatch pipelining.
+        # Every metric is still fetched (forcing completion, so timings stay
+        # honest); T_step then reports the SUSTAINED per-step wall time
+        # (dispatch + previous-step fetch), which is the number that matters.
+        pipeline = bool(self.cfg.get("pipeline_metrics", True))
+        pending = None  # (device metrics, T_data, lr step, loader index)
+
+        def consume(pend, t_start, t_excl=0.0):
+            pmetrics, pdata, pstep, pi = pend
+            info = {k: float(v) for k, v in pmetrics.items()}  # forces completion
+            t_step = time.time() - t_start - t_excl
+            info.update({"T_data": pdata, "T_step": t_step,
+                         "lr": float(self.schedule(pstep - 1))})
+            for k, v in info.items():
+                buffer.setdefault(k, []).append(v)
+            if self.logger and pi % per_write == 0:
+                avg = {k: float(np.mean(v[-per_write:])) for k, v in buffer.items()}
+                msg = f"[{self.epoch}][{pi}/{len(self.loader)}] Train - " + "\t".join(
+                    f"{k}: {v:.5f}" for k, v in avg.items()
+                )
+                self.logger.info(msg)
+                if self.writer:
+                    self.writer.add_scalars("train", avg, pstep)
+
         end = time.time()
         # keep the loader's shuffle epoch in lockstep with the solver epoch
         # (init peeks or resumes must not drift the data order)
@@ -404,22 +432,31 @@ class Solver:
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.train_step(self.state, batch)
             self.state = state
-            # fetching the scalars forces completion (block_until_ready can
-            # return early on detached TPU attach paths), making T_step honest
-            info = {k: float(v) for k, v in metrics.items()}
-            t_step = time.time() - end - t_data
-            info.update({"T_data": t_data, "T_step": t_step,
-                         "lr": float(self.schedule(int(self.state.step) - 1))})
-            for k, v in info.items():
-                buffer.setdefault(k, []).append(v)
-            if self.logger and i % per_write == 0:
-                avg = {k: float(np.mean(v[-per_write:])) for k, v in buffer.items()}
-                msg = f"[{self.epoch}][{i}/{len(self.loader)}] Train - " + "\t".join(
-                    f"{k}: {v:.5f}" for k, v in avg.items()
-                )
-                self.logger.info(msg)
-                if self.writer:
-                    self.writer.add_scalars("train", avg, int(self.state.step))
+            per_save_steps = int(self.cfg.get("per_save_steps", 0))
+            save_due = bool(
+                self.checkpoint_dir and per_save_steps and i
+                and i % per_save_steps == 0
+            )
+            if pipeline and not save_due:
+                if pending is not None:
+                    consume(pending, end, t_excl=t_data)
+                pending = (metrics, t_data, int(self.state.step), i)
+            else:
+                # fetch THIS step's scalars now, forcing completion
+                # (block_until_ready can return early on detached TPU attach
+                # paths). A due mid-epoch save also takes this path: the
+                # checkpoint's consumed-batches meta must not outrun the
+                # written metric stream, or an interrupted+resumed run would
+                # drop one record vs the uninterrupted stream.
+                if pending is not None:
+                    consume(pending, end, t_excl=t_data)
+                    end = time.time()
+                    t_data = 0.0
+                    pending = None
+                consume((metrics, t_data, int(self.state.step), i),
+                        end, t_excl=t_data)
             self.maybe_save_steps(i)
             end = time.time()
+        if pending is not None:
+            consume(pending, end)
         return {k: float(np.mean(v)) for k, v in buffer.items()}

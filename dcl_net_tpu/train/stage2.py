@@ -35,8 +35,12 @@ def make_stage2_train_step(
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         out_main = main_model.apply(main_variables, batch, train=False)
-        rot0 = jax.lax.stop_gradient(out_main["rot_pred"])
-        trans0 = jax.lax.stop_gradient(out_main["trans_pred"])
+        # pose carries are geometry: force f32 regardless of the model's
+        # compute dtype — the bf16 production config emits bf16 trans_pred
+        # and the HIGHEST-precision compose returns f32, which would fail
+        # scan's carry type check (same fix as refine_pose, models/refiner.py)
+        rot0 = jax.lax.stop_gradient(out_main["rot_pred"]).astype(jnp.float32)
+        trans0 = jax.lax.stop_gradient(out_main["trans_pred"]).astype(jnp.float32)
         conf = jax.lax.stop_gradient(out_main["conf"])
         f_xo_p = jax.lax.stop_gradient(out_main["F_Xo_p"])
         points_inp = out_main["points_inp"]

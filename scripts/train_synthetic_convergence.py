@@ -1,0 +1,212 @@
+"""Synthetic train-to-convergence acceptance (the strongest end-to-end
+learning proof available without real datasets — mirrors the
+eval-as-integration-test role of the reference's scripts/script_eval_*.sh).
+
+Trains stage-1 DCLNet from scratch on synthetic scenes at the FLAGSHIP
+shapes (64^3 grid, 1024-pt pairs, bf16+Pallas production config), evaluates
+ADD-S AUC on a HELD-OUT synthetic split (different seed) against the
+identity-pose baseline, then trains the stage-2 refiner on top of the
+frozen stage-1 model and verifies it refines further.
+
+Acceptance bars (asserted):
+  - stage-1 held-out ADD-S AUC >= --auc-bar (default 90)
+  - stage-1 AUC beats the identity-pose baseline by >= 15 points
+  - stage-2 (2 refine iters) AUC >= stage-1 AUC - 0.5  (refinement does
+    not hurt; usually improves)
+
+Also serves as the banked-template-training A/B (--bank): same steps, same
+data, per-class template encoding — quantifies the template-BN batch
+semantics deviation at convergence (docs/PERF.md).
+
+Usage:
+  python scripts/train_synthetic_convergence.py            # ~20 min on chip
+  python scripts/train_synthetic_convergence.py --bank     # banked A/B arm
+  BENCH smoke: --steps 30 --eval-every 30 --auc-bar 0 (no assertions bite)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--stage2-steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--bank", action="store_true",
+                    help="banked-template training arm")
+    ap.add_argument("--auc-bar", type=float, default=90.0)
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.config import Config
+    from dcl_net_tpu.data.loader import BatchLoader
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.eval.evaluator import Evaluator, Stage2Evaluator
+    from dcl_net_tpu.eval.metrics import add_s_batch, per_class_auc_acc
+    from dcl_net_tpu.models import DCLNet, Refiner, dcl_losses
+    from dcl_net_tpu.train.solver import (
+        build_optimizer, init_train_state, make_train_step,
+    )
+    from dcl_net_tpu.train.stage2 import make_stage2_train_step
+
+    grid, unit, n = (64, 64, 64), (0.006, 0.006, 0.006), 1024
+    C = args.classes
+
+    train_ds = SyntheticPoseDataset(
+        n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
+        length=8192, seed=0,
+    )
+    heldout_ds = SyntheticPoseDataset(
+        n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
+        length=512, seed=1234,  # held-out: same objects, unseen poses/views
+    )
+    loader = BatchLoader(train_ds, batch_size=args.batch, num_workers=4,
+                         seed=0, to_jax=True)
+
+    model = DCLNet(
+        unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n, n_tmp=n,
+        interp_mode="pallas", dtype=jnp.bfloat16,  # production config
+    )
+    cfg = Config({"optimizer": {"type": "Adam", "lr": args.lr,
+                                "betas": [0.5, 0.999], "eps": 1e-6},
+                  "clip_percentile": 50})
+    tx, _ = build_optimizer(cfg)
+
+    bank = train_ds.template_bank() if hasattr(train_ds, "template_bank") else None
+    if bank is None:  # synthetic: build the bank from one sample per class
+        feats, vidx = [], []
+        for c in range(C):
+            for i in range(len(train_ds)):
+                s = train_ds[i]
+                if int(s["obj_idx"]) == c:
+                    feats.append(s["tmp_feats"]); vidx.append(s["tmp_voxel_idx"])
+                    break
+        bank = {"feats": np.stack(feats), "voxel_idx": np.stack(vidx)}
+
+    step_fn = make_train_step(
+        model, tx, dcl_losses, template_bank=bank if args.bank else None
+    )
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    first = next(iter(loader))
+    state = init_train_state(model, tx, first)
+
+    # ---- eval plumbing (template-cached production eval path) ----
+    model_points = np.stack([heldout_ds.model_points(c, 256) for c in range(C)])
+    eval_batches = [
+        jax.tree.map(jnp.asarray, make_batch(
+            [heldout_ds[k * 128 + i] for i in range(128)]).to_dict())
+        for k in range(4)
+    ]
+
+    def eval_auc(variables):
+        ev = Evaluator(model, variables, model_points, protocol="adds_auc",
+                       template_bank=bank)
+        return ev.evaluate(eval_batches)["auc_mean"]
+
+    # identity-pose baseline on the same split (rot=I, trans=0)
+    dists, clss = [], []
+    for b in eval_batches:
+        pts = jnp.asarray(model_points)[b["labels"]["obj_idx"]]
+        bsz = pts.shape[0]
+        adds = add_s_batch(
+            pts,
+            jnp.tile(jnp.eye(3)[None], (bsz, 1, 1)), jnp.zeros((bsz, 3)),
+            b["labels"]["rot_gt"], b["labels"]["trans_gt"],
+        )
+        dists += [float(x) for x in np.asarray(adds)]
+        clss += [int(c) for c in np.asarray(b["labels"]["obj_idx"])]
+    identity_auc = per_class_auc_acc(dists, clss, num_classes=C)["auc_mean"]
+    print(f"identity-pose baseline ADD-S AUC: {identity_auc:.2f}", flush=True)
+
+    # ---- stage-1 training ----
+    t0 = time.time()
+    i = 0
+    auc = None
+    it = iter(loader)
+    while i < args.steps:
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            continue
+        state, m = step(state, batch)
+        i += 1
+        if i % 100 == 0:
+            print(f"[{i}/{args.steps}] loss={float(m['loss_all']):.4f} "
+                  f"({(time.time()-t0)/i*1000:.0f} ms/step)", flush=True)
+        if i % args.eval_every == 0 or i == args.steps:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            auc = eval_auc(variables)
+            print(f"[{i}] held-out ADD-S AUC: {auc:.2f}", flush=True)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    stage1_auc = auc
+
+    # ---- stage-2 refiner on the frozen stage-1 model ----
+    cld = jnp.asarray(model_points)
+    refiner = Refiner(n_inp=n)
+    step2_fn = make_stage2_train_step(model, variables, refiner, tx, 2, cld)
+    step2 = jax.jit(step2_fn, donate_argnums=(0,))
+    dummy = {"input_features": jnp.zeros((args.batch, n, 259)),
+             "conf": jnp.zeros((args.batch, 2 * n))}
+    rstate = init_train_state(refiner, tx, dummy)
+    i = 0
+    it = iter(loader)
+    while i < args.stage2_steps:
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            continue
+        rstate, m2 = step2(rstate, batch)
+        i += 1
+        if i % 100 == 0:
+            print(f"[s2 {i}/{args.stage2_steps}] loss={float(m2['loss_all']):.4f}",
+                  flush=True)
+
+    ev2 = Stage2Evaluator(
+        model, variables, refiner, {"params": rstate.params}, model_points,
+        iterations=2, protocol="adds_auc", template_bank=bank,
+    )
+    stage2_auc = ev2.evaluate(eval_batches)["auc_mean"]
+
+    result = {
+        "config": ("banked-template" if args.bank else "per-instance"),
+        "steps": args.steps, "batch": args.batch,
+        "identity_auc": identity_auc,
+        "stage1_auc": stage1_auc,
+        "stage2_auc": stage2_auc,
+        "wall_min": round((time.time() - t0) / 60, 1),
+    }
+    print(json.dumps(result), flush=True)
+
+    assert stage1_auc >= args.auc_bar, (
+        f"stage-1 held-out AUC {stage1_auc} < bar {args.auc_bar}")
+    if args.auc_bar > 0:
+        assert stage1_auc >= identity_auc + 15, (
+            f"stage-1 AUC {stage1_auc} does not clearly beat identity "
+            f"{identity_auc}")
+        assert stage2_auc >= stage1_auc - 0.5, (
+            f"stage-2 AUC {stage2_auc} regressed vs stage-1 {stage1_auc}")
+    print("CONVERGENCE ACCEPTANCE: OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -422,3 +422,154 @@ def test_ortho9d_matches_reference_code(refmods):
     # proper rotations both sides
     dets = np.linalg.det(np.asarray(ours))
     np.testing.assert_allclose(dets, 1.0, atol=1e-5)
+
+
+def test_rotation_utils_match_reference_code(refmods):
+    """Rotation utility family (SURVEY P13/P14) vs the reference's own
+    utils/rotation.py + utils/transform3D.py, imported from the checkout."""
+    del refmods  # ensures stubs are installed + sys.path set
+    import utils.rotation as ref_rot
+    import utils.transform3D as ref_t3d
+
+    from dcl_net_tpu.geometry.rotation import (
+        axis_angle_to_matrix,
+        ortho6d_to_matrix,
+        quaternion_multiply,
+        quaternion_to_matrix,
+        translate_rotate,
+    )
+
+    rng = np.random.RandomState(21)
+    t = lambda x: torch.tensor(x)
+
+    # ortho6d: BOTH reference variants (rotation.py:28-39, transform3D.py:
+    # 51-72) use the y-first Gram-Schmidt — ours must match them exactly
+    x6 = rng.randn(16, 3).astype(np.float32)
+    y6 = rng.randn(16, 3).astype(np.float32)
+    ours6 = np.asarray(ortho6d_to_matrix(jnp.asarray(x6), jnp.asarray(y6)))
+    with torch.no_grad():
+        ref6a = ref_rot.compute_rotation_matrix_from_ortho6d(t(x6), t(y6)).numpy()
+        ref6b = ref_t3d.ortho6d2matrix(t(x6), t(y6)).numpy()
+    np.testing.assert_allclose(ours6, ref6a, atol=1e-5)
+    np.testing.assert_allclose(ours6, ref6b, atol=1e-5)
+
+    # quaternion -> matrix (reference goes through its axis-angle + y-polar
+    # angle machinery, transform3D.py:74-119 — same rotation, different path)
+    q = rng.randn(16, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q[:, 0] = np.abs(q[:, 0])  # w >= 0 (reference acos branch)
+    ours_q = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+    with torch.no_grad():
+        ref_q = ref_t3d.quaternion_to_matrix(t(q)).numpy()
+    np.testing.assert_allclose(ours_q, ref_q, atol=1e-4)
+
+    # axis-angle -> matrix
+    axis = rng.randn(16, 3).astype(np.float32)
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    ang = rng.uniform(-np.pi, np.pi, 16).astype(np.float32)
+    ours_aa = np.asarray(axis_angle_to_matrix(jnp.asarray(axis), jnp.asarray(ang)))
+    with torch.no_grad():
+        ref_aa = ref_t3d.axis_angle_to_matrix(t(axis), t(ang)).numpy()
+    np.testing.assert_allclose(ours_aa, ref_aa, atol=1e-4)
+
+    # quaternion composition: R(q1 o q2) == R(q1) @ R(q2), and ours matches
+    # the reference's compose_quaternion component-for-component
+    q2 = rng.randn(16, 4).astype(np.float32)
+    q2 /= np.linalg.norm(q2, axis=1, keepdims=True)
+    q2[:, 0] = np.abs(q2[:, 0])
+    ours_c = np.asarray(quaternion_multiply(jnp.asarray(q), jnp.asarray(q2)))
+    with torch.no_grad():
+        ref_c = ref_rot.compose_quaternion(t(q), t(q2)).numpy()
+    np.testing.assert_allclose(ours_c, ref_c, atol=1e-6)
+
+    # translate_rotate: rot @ (cloud + trans) in the reference's layout
+    cloud = rng.randn(64, 3).astype(np.float32)
+    trans = rng.randn(1, 3).astype(np.float32)
+    rotm = ref6a[0]
+    ours_tr = np.asarray(translate_rotate(
+        jnp.asarray(cloud), jnp.asarray(trans[0]), jnp.asarray(rotm)))
+    with torch.no_grad():
+        ref_tr = ref_t3d.translate_rotate(t(cloud), t(rotm), t(trans)).numpy()
+    np.testing.assert_allclose(ours_tr, ref_tr, atol=1e-5)
+
+
+def test_multiscale_interp_matches_reference_code(refmods):
+    """MultiScalePointFeatures vs the reference's own Ops_GetPointFeat_spconv
+    + Ops_tensor2points (models/Modules.py:204-251) — the voxel-center
+    arithmetic (idx*unit*scale + offset + 0.5*unit*scale), the
+    scale_lists=[2,4,6,8] quirk and the 1/(dist2+1e-8) weighting all run the
+    reference's code; only the CUDA three_nn/three_interpolate are CPU
+    stand-ins with the kernel's exact semantics (batch-id filter, SQUARED
+    distances; libs/pointnet_sp/src/interpolate_gpu.cu:9-56)."""
+    ref_mod, _, _ = refmods
+
+    import types as _types
+
+    from dcl_net_tpu.models.backbone import MultiScalePointFeatures
+
+    # CPU stand-ins for the pointnet_sp CUDA ops, installed into the stub
+    # module the reference imported at module load
+    def three_nn_cpu(target, query):
+        # double accumulation like the kernel's `double best` + 1e40 sentinel
+        t, q = target.double(), query.double()
+        d2 = ((t[:, None, 1:] - q[None, :, 1:]) ** 2).sum(-1)
+        d2 = torch.where(t[:, 0][:, None] == q[None, :, 0], d2, d2 + 1e40)
+        if d2.shape[1] < 3:  # kernel defaults: best=1e40, besti=0
+            pad = torch.full((d2.shape[0], 3 - d2.shape[1]), 1e40, dtype=torch.float64)
+            d2 = torch.cat([d2, pad], 1)
+        vals, idx = torch.topk(d2, 3, dim=1, largest=False)
+        idx = torch.where(vals >= 1e40, torch.zeros_like(idx), idx)
+        return vals.float(), idx.int()
+
+    def three_interpolate_cpu(feats, idx, weight):
+        return (feats[idx.long()] * weight[..., None]).sum(1)
+
+    sys.modules["libs.pointnet_sp.pointnet2_utils"].three_nn = three_nn_cpu
+    sys.modules["libs.pointnet_sp.pointnet2_utils"].three_interpolate = (
+        three_interpolate_cpu
+    )
+    # Modules.py bound the stub module object at import time — same object,
+    # attribute updates are visible
+
+    rng = np.random.RandomState(31)
+    B = 2
+    limit = np.array([16, 16, 16], np.float64)
+    unit = np.array([0.024, 0.025, 0.026], np.float64)  # anisotropic on purpose
+    dims = [(8, 8, 8), (4, 4, 4), (2, 2, 2), (1, 1, 1)]
+    chans = [32, 64, 128, 256]
+    n_pts = 64
+
+    pyramid, ref_tensors = [], []
+    for (d, h, w), c in zip(dims, chans):
+        mask = (rng.rand(B, d, h, w) < 0.4)
+        for b in range(B):  # >=3 occupied per batch where possible
+            while mask[b].sum() < min(3, d * h * w):
+                mask[b, rng.randint(d), rng.randint(h), rng.randint(w)] = True
+        feats = rng.randn(B, d, h, w, c).astype(np.float32) * mask[..., None]
+        pyramid.append((jnp.asarray(feats), jnp.asarray(mask.astype(np.float32))))
+        bb, ii, jj, kk = np.nonzero(mask)
+        indices = np.stack([bb, ii, jj, kk], 1).astype(np.float32)
+        ref_tensors.append(_types.SimpleNamespace(
+            features=torch.tensor(feats[bb, ii, jj, kk]),
+            indices=torch.tensor(indices),
+        ))
+
+    pts = (rng.rand(B, n_pts, 3) - 0.5) * (unit * limit) * 0.9
+    pts = pts.astype(np.float32)
+
+    msf = MultiScalePointFeatures(
+        unit_voxel_extent=tuple(unit), voxel_num_limit=tuple(int(v) for v in limit),
+        scale_list=(2, 4, 6, 8), capacities=(512, 64, 8, 1),
+        interp_mode="exact",
+    )
+    ours = msf.apply({}, jnp.asarray(pts), pyramid)
+
+    op = ref_mod.Ops_GetPointFeat_spconv(
+        scale_lists=[2, 4, 6, 8], unit_voxel_extent=unit, voxel_num_limit=limit,
+    )
+    flat_pts = torch.tensor(pts.reshape(-1, 3))
+    batch_ids = torch.arange(B).repeat_interleave(n_pts).reshape(-1, 1).float()
+    with torch.no_grad():
+        ref = op(flat_pts, batch_ids, *ref_tensors).numpy().reshape(B, n_pts, -1)
+
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)

@@ -346,3 +346,38 @@ def test_banked_template_training_matches_plain_on_distinct_classes():
     for a, b in zip(jax.tree.leaves(bs1), jax.tree.leaves(bs2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_stage2_train_step_under_bf16_main_model():
+    """The stage-2 refiner train step must compose poses in f32 even when
+    the frozen stage-1 model runs the bf16 production config: the scan
+    carries the composed pose, and a bf16 trans_pred carried against the
+    HIGHEST-precision f32 compose fails scan's type check (regression for
+    the bug the synthetic-convergence run surfaced; same class as the
+    refine_pose fix in models/refiner.py)."""
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.models import DCLNet, Refiner
+    from dcl_net_tpu.train.solver import init_train_state
+    from dcl_net_tpu.train.stage2 import make_stage2_train_step
+
+    kw = dict(unit_voxel_extent=(0.024,) * 3, voxel_num_limit=(16,) * 3)
+    ds = SyntheticPoseDataset(n_objects=2, n_points=64, **kw, length=4)
+    batch = jax.tree.map(jnp.asarray, make_batch([ds[i] for i in range(4)]).to_dict())
+    model = DCLNet(n_inp=64, n_tmp=64, capacities=(256, 64, 16, 8),
+                   dtype=jnp.bfloat16, **kw)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    cld = jnp.asarray(np.stack([ds.model_points(c, 32) for c in range(2)]))
+
+    refiner = Refiner(n_inp=64)
+    cfg = Config({"optimizer": {"type": "Adam", "lr": 1e-3}})
+    tx, _ = build_optimizer(cfg)
+    step = jax.jit(
+        make_stage2_train_step(model, variables, refiner, tx, 2, cld),
+        donate_argnums=(0,),
+    )
+    dummy = {"input_features": jnp.zeros((4, 64, 259)),
+             "conf": jnp.zeros((4, 128))}
+    state = init_train_state(refiner, tx, dummy)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss_all"]))
