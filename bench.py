@@ -159,15 +159,51 @@ def main():
     inst_per_sec = batch_size / dt
     eval_mfu = (eval_flops / dt) / peak if eval_flops else None
 
+    # ---- protocol eval: the PRODUCT Evaluator.evaluate loop ----
+    # Same model/cache, but through eval/evaluator.py: per-batch dispatch
+    # pipelining plus the host-side per-instance scoring/aggregation the raw
+    # headline omits. BENCH_PROTOCOL=0 disables.
+    protocol = None
+    if int(os.environ.get("BENCH_PROTOCOL", 1)):
+        from dcl_net_tpu.eval.evaluator import Evaluator
+
+        model_points = np.stack(
+            [ds.model_points(c, 256) for c in range(n_classes)]
+        )
+        bank_np = {k: np.asarray(v) for k, v in tmp_bank["tmp"].items()}
+        evaluator = Evaluator(
+            model, variables, model_points, protocol="adds_auc",
+            template_bank=bank_np,
+        )
+        # 4 batches through the product loop (dispatches are not memoized,
+        # so identical contents time the same work), one warm pass first
+        proto_batches = [
+            jax.tree.map(jnp.asarray, make_batch(samples[:batch_size]).to_dict())
+            for _ in range(4)
+        ]
+        _ = evaluator.evaluate(proto_batches[:1])
+        t0 = time.perf_counter()
+        res = evaluator.evaluate(proto_batches)
+        pdt = time.perf_counter() - t0
+        assert np.isfinite(res["auc_mean"])
+        protocol = {
+            "instances_per_sec_per_chip": round(
+                len(proto_batches) * batch_size / pdt, 2),
+            "batches": len(proto_batches),
+            "includes": "Evaluator.evaluate dispatch pipelining + host "
+                        "per-instance scoring + per-class AUC aggregation",
+        }
+
     # ---- training side (reference config shape: B=32, 1024 pts) ----
     cfg = Config({"optimizer": {"type": "Adam", "lr": 1e-3,
                                 "betas": [0.5, 0.999], "eps": 1e-6}})
     tx, _ = build_optimizer(cfg)
 
-    def measure_train(bsz):
+    def measure_train(bsz, bank=None):
         tb_n = jax.tree.map(jnp.asarray, make_batch(samples[:bsz]).to_dict())
         state = init_train_state(model, tx, tb_n)
-        step = jax.jit(make_train_step(model, tx, dcl_losses),
+        step = jax.jit(make_train_step(model, tx, dcl_losses,
+                                       template_bank=bank),
                        donate_argnums=(0,))
         step_c = step.lower(state, tb_n).compile()  # reused below, no re-trace
         flops = _flops_of(step_c)
@@ -195,6 +231,19 @@ def main():
     tdt, train_flops = measure_train(train_batch)
     train_sps = train_batch / tdt
     train_mfu = (train_flops / tdt) / peak if train_flops else None
+
+    # banked-template training at the same batch (the production-throughput
+    # config, configs/config_YCBV_bs128_throughput.yaml; convergence A/B in
+    # docs/PERF.md shows no quality cost). BENCH_TRAIN_BANK=0 disables.
+    train_bank = None
+    if int(os.environ.get("BENCH_TRAIN_BANK", 1)):
+        bdt, bflops = measure_train(train_batch, bank=tmp_bank["tmp"])
+        train_bank = {
+            "batch": train_batch,
+            "samples_per_sec_per_chip": round(train_batch / bdt, 2),
+            "step_ms": round(bdt * 1000, 1),
+            "mfu": round((bflops / bdt) / peak, 4) if bflops else None,
+        }
 
     # larger-batch training point: per-step fixed costs amortize (~2.4x
     # samples/s at B=128 vs the reference's B=32 config); 0 disables
@@ -272,6 +321,8 @@ def main():
             "train_flops_per_sample": round(train_flops / train_batch) if train_flops else None,
             "train_mfu": round(train_mfu, 4) if train_mfu else None,
             "train_large_batch": train2,
+            "train_banked": train_bank,
+            "protocol_eval": protocol,
             "stage2_eval": stage2,
             "device_kind": jax.devices()[0].device_kind,
             "peak_flops_assumed": peak,
