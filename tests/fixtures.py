@@ -155,6 +155,12 @@ def make_linemod_fixture(tmpdir: str, seed: int = 0):
         Image.fromarray(img).save(os.path.join(d, "rgb", "0000.png"))
         Image.fromarray(depth).save(os.path.join(d, "depth", "0000.png"))
         Image.fromarray(mask).save(os.path.join(d, "mask", "0000.png"))
+        # SegNet predicted masks for eval mode (reference
+        # LM/dataloader_test_LM.py:80): reuse the gt silhouette
+        seg_dir = os.path.join(root, "segnet_results", f"{item:02d}_label")
+        os.makedirs(seg_dir, exist_ok=True)
+        Image.fromarray((m * 255).astype(np.uint8)).save(
+            os.path.join(seg_dir, "0000_label.png"))
         gt = {0: [{"obj_id": item,
                    "cam_R_m2c": np.eye(3).flatten().tolist(),
                    "cam_t_m2c": center.tolist(),

@@ -573,3 +573,36 @@ def test_multiscale_interp_matches_reference_code(refmods):
         ref = op(flat_pts, batch_ids, *ref_tensors).numpy().reshape(B, n_pts, -1)
 
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_get_cano_label_matches_reference_code(refmods):
+    """losses.get_cano_label (reference models/DCL_Net.py:312-317) vs ours:
+    canonicalize the observed cloud by the predicted rotation, 1-NN match
+    into the template, gather the matched template points. The reference
+    side runs its own staticmethod with the CUDA knn replaced by the
+    exact-semantics CPU stand-in (_knn_cpu)."""
+    _, ref_dcl, _ = refmods
+    from dcl_net_tpu.models.dcl_net import get_cano_label
+
+    rng = np.random.RandomState(17)
+    b, n, m = 3, 96, 80
+    tmp = rng.randn(b, m, 3).astype(np.float32) * 0.05
+    inp = rng.randn(b, n, 3).astype(np.float32) * 0.05
+    trans = rng.randn(b, 3).astype(np.float32) * 0.02
+
+    def rot(r):
+        q, _ = np.linalg.qr(r.randn(3, 3))
+        return (q * np.sign(np.linalg.det(q))).astype(np.float32)
+
+    rots = np.stack([rot(rng) for _ in range(b)])
+
+    ours = np.asarray(get_cano_label(
+        jnp.asarray(tmp), jnp.asarray(inp), jnp.asarray(rots),
+        jnp.asarray(trans),
+    ))
+    t = torch.tensor
+    with torch.no_grad():
+        ref = ref_dcl.losses.get_cano_label(
+            t(tmp), t(inp), t(rots), t(trans[:, None, :])
+        ).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

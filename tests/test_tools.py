@@ -180,3 +180,66 @@ def test_eval_ycbv_cli(tmp_path):
     assert abs(result_big["acc_mean"] - result["acc_mean"]) < 0.2
     _np.testing.assert_allclose(
         result_big["auc_per_class"], result["auc_per_class"], atol=0.2)
+
+
+def test_eval_lm_and_lmo_cli(tmp_path):
+    """test_lm / test_lmo CLIs end to end on the disk fixtures with a
+    random-weight checkpoint: SegNet-mask eval mode, HybridPose masks +
+    lost-detection denominator, models_info.yml diameters, metric output."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.config import Config
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.tools.common import build_model
+    from dcl_net_tpu.tools.test_lm import main as lm_main
+    from dcl_net_tpu.tools.test_lmo import main as lmo_main
+    from dcl_net_tpu.train.checkpoints import save_checkpoint
+    from dcl_net_tpu.train.solver import TrainState
+
+    lm_root = fixtures.make_linemod_fixture(str(tmp_path))
+    fixtures.make_lmo_fixture(str(tmp_path), lm_root)
+    datasets_dir = str(tmp_path)
+
+    overrides = [
+        "model.n_inp=64", "model.n_tmp=64",
+        "model.unit_voxel_extent=[0.024,0.024,0.024]",
+        "model.voxel_num_limit=[16,16,16]",
+        "hyper_dataset_test.input_size=64", "hyper_dataset_test.tmp_size=64",
+        "hyper_dataset_test.unit_voxel_extent=[0.024,0.024,0.024]",
+        "hyper_dataset_test.voxel_num_limit=[16,16,16]",
+        "hyper_dataloader_test.bs=4",
+    ]
+    cfg = Config.fromfile("configs/config_LM.yaml").apply_overrides(overrides)
+    model = build_model(cfg)
+    ds = SyntheticPoseDataset(
+        n_objects=2, n_points=64, unit_voxel_extent=(0.024,) * 3,
+        voxel_num_limit=(16,) * 3, length=4,
+    )
+    batch = make_batch([ds[i] for i in range(2)]).to_dict()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), batch, train=True
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables["batch_stats"], opt_state={},
+    )
+    log_root = str(tmp_path / "log")
+    ckpt_dir = os.path.join(log_root, "DCL_Net_config_LM_id0")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_checkpoint(ckpt_dir, state, 1)
+
+    common = [
+        "--config", "configs/config_LM.yaml",
+        "--log_root", log_root, "--path_data", datasets_dir,
+        "--epoch", "1",
+        "--override", *overrides,
+    ]
+    res_lm = lm_main(common)
+    assert "success_mean" in res_lm
+    assert 0.0 <= res_lm["success_mean"] <= 100.0
+
+    res_lmo = lmo_main(common)
+    assert "success_mean" in res_lmo
+    assert 0.0 <= res_lmo["success_mean"] <= 100.0
