@@ -40,20 +40,34 @@ def _worker_get(i):
 
 class _ProcessPool:
     """Thin ThreadPoolExecutor-shaped wrapper over multiprocessing.Pool so
-    the loaders can swap worker types without restructuring."""
+    the loaders can swap worker types without restructuring.
+
+    Uses the FORKSERVER start method: workers fork from a clean helper
+    process instead of this one — by loader time the parent is
+    multithreaded (JAX/TPU client, prefetch threads), and fork() from a
+    threaded parent can deadlock children on inherited locks. The dataset
+    is pickled once per worker via the initializer; per-item dispatch
+    moves only indices and results.
+
+    The pool is PERSISTENT: context-manager exit leaves it alive (one
+    spawn per loader, reused across epochs — respawning per epoch cost
+    ~4-5 s/epoch in the real-file train smoke); call close() / drop the
+    owning loader to tear it down.
+    """
 
     def __init__(self, num_workers: int, dataset):
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")  # cheap dataset inheritance on Linux
+        ctx = mp.get_context("forkserver")
         self._pool = ctx.Pool(
             num_workers, initializer=_init_worker, initargs=(dataset,)
         )
         self._num_workers = num_workers
 
     def map(self, _fn, indices):
-        chunk = max(1, len(list(indices)) // (self._num_workers * 2))
-        return self._pool.map(_worker_get, [int(i) for i in indices], chunk)
+        idx = [int(i) for i in indices]
+        chunk = max(1, len(idx) // (self._num_workers * 2))
+        return self._pool.map(_worker_get, idx, chunk)
 
     def submit(self, _fn, i):
         ar = self._pool.apply_async(_worker_get, (int(i),))
@@ -68,20 +82,41 @@ class _ProcessPool:
         return self
 
     def __exit__(self, *exc):
+        return False  # persistent: survives the per-epoch `with` block
+
+    def close(self):
         self._pool.terminate()
         self._pool.join()
-        return False
 
 
-def _make_pool(worker_type: str, num_workers: int, dataset):
-    if worker_type == "process":
-        return _ProcessPool(num_workers, dataset)
-    if worker_type == "thread":
-        return ThreadPoolExecutor(max_workers=num_workers)
-    raise ValueError(f"worker_type must be 'thread' or 'process', got {worker_type!r}")
+class _PoolOwner:
+    """Mixin: lazy persistent process pool / per-epoch thread pool."""
+
+    def _make_pool(self):
+        if self.worker_type == "thread":
+            return ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_type == "process":
+            if getattr(self, "_proc_pool", None) is None:
+                self._proc_pool = _ProcessPool(self.num_workers, self.dataset)
+            return self._proc_pool
+        raise ValueError(
+            f"worker_type must be 'thread' or 'process', got {self.worker_type!r}"
+        )
+
+    def close(self):
+        pool = getattr(self, "_proc_pool", None)
+        if pool is not None:
+            pool.close()
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
-class BatchLoader:
+class BatchLoader(_PoolOwner):
     """Shuffling, dropping-last batch iterator over a map-style dataset."""
 
     def __init__(
@@ -150,8 +185,7 @@ class BatchLoader:
 
         def produce():
             try:
-                with _make_pool(self.worker_type, self.num_workers,
-                                self.dataset) as pool:
+                with self._make_pool() as pool:
                     for b in batches:
                         if stop.is_set():
                             return
@@ -192,7 +226,7 @@ class BatchLoader:
             stop.set()
 
 
-class EvalFrameLoader:
+class EvalFrameLoader(_PoolOwner):
     """Flatten frame-style eval datasets (YCBV test) into fixed-size padded
     instance batches. Lost detections are carried to the evaluator as
     valid=0 rows with correct labels."""
@@ -223,8 +257,7 @@ class EvalFrameLoader:
             from collections import deque
 
             window = max(2 * self.num_workers, 4)
-            with _make_pool(self.worker_type, self.num_workers,
-                            self.dataset) as pool:
+            with self._make_pool() as pool:
                 futs = deque()
                 for i in range(len(self.dataset)):
                     futs.append(pool.submit(self.dataset.__getitem__, i))

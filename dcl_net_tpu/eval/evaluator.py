@@ -120,15 +120,22 @@ class Evaluator:
             }
 
         self._tmp_cache = None
+        self._bank_inputs = None
         if template_bank is not None:
-            tmp_cache = self._encode_template_bank(template_bank)
-            if mesh is not None:
-                from dcl_net_tpu.parallel.mesh import replicate
+            self._bank_inputs = {"tmp": {
+                "feats": jnp.asarray(template_bank["feats"]),
+                "voxel_idx": jnp.asarray(template_bank["voxel_idx"]),
+            }}
+            self._encode_bank = jax.jit(
+                lambda v, b: self.model.apply(
+                    v, b, train=False, method=self.model.encode_template
+                )
+            )
+            self._refresh_template_cache()
 
-                tmp_cache = replicate(tmp_cache, mesh)
-            self._tmp_cache = tmp_cache
-
-            def run(variables, batch):
+            # the cache is an ARGUMENT (not a closure): update_variables can
+            # re-encode it from new weights without re-tracing this graph
+            def run(variables, tmp_cache, batch):
                 obs = model.apply(
                     variables, batch, train=False,
                     method=model.encode_observed,
@@ -138,25 +145,39 @@ class Evaluator:
                 out = model.apply(variables, obs, tmp, train=False,
                                   method=model.fuse)
                 return score(out, batch)
+
+            jitted = _jit_run(mesh, run, n_state_args=2)
+            self._run = lambda variables, batch: jitted(
+                variables, self._tmp_cache, batch
+            )
         else:
 
             def run(variables, batch):
                 out = model.apply(variables, batch, train=False)
                 return score(out, batch)
 
-        self._run = _jit_run(mesh, run, n_state_args=1)
+            self._run = _jit_run(mesh, run, n_state_args=1)
 
-    def _encode_template_bank(self, bank):
-        """Encode all class templates once: [C, M, ...] feature cache."""
-        tmp_batch = {"tmp": {
-            "feats": jnp.asarray(bank["feats"]),
-            "voxel_idx": jnp.asarray(bank["voxel_idx"]),
-        }}
-        return jax.jit(
-            lambda v, b: self.model.apply(
-                v, b, train=False, method=self.model.encode_template
-            )
-        )(self.variables, tmp_batch)
+    def _refresh_template_cache(self):
+        tmp_cache = self._encode_bank(self.variables, self._bank_inputs)
+        if self.mesh is not None:
+            from dcl_net_tpu.parallel.mesh import replicate
+
+            tmp_cache = replicate(tmp_cache, self.mesh)
+        self._tmp_cache = tmp_cache
+
+    def update_variables(self, variables):
+        """Swap in new weights (e.g. mid-training eval) — replicates onto the
+        mesh if any and RE-ENCODES the per-class template cache, which
+        depends on the weights; the jitted eval graph is reused as-is."""
+        if self.mesh is not None:
+            from dcl_net_tpu.parallel.mesh import replicate
+
+            variables = replicate(variables, self.mesh)
+        self.variables = variables
+        if self._bank_inputs is not None:
+            self._refresh_template_cache()
+        return self
 
     def _shard(self, batch):
         if self.mesh is not None:
@@ -276,10 +297,12 @@ class Stage2Evaluator(Evaluator):
 
         model_pts = self.model_points
         refiner_apply = refiner.apply
-        tmp_cache = getattr(self, "_tmp_cache", None)
+        has_cache = self._bank_inputs is not None
 
-        def run(variables, refiner_vars, batch):
-            if tmp_cache is not None:
+        # like the stage-1 run: the template cache rides as an ARGUMENT so
+        # update_variables' re-encoded cache takes effect without re-tracing
+        def run(variables, refiner_vars, tmp_cache, batch):
+            if has_cache:
                 obs = model.apply(variables, batch, train=False,
                                   method=model.encode_observed)
                 tmp = jax.tree.map(
@@ -306,7 +329,8 @@ class Stage2Evaluator(Evaluator):
             )
             return {"adds": adds, "add": add, "rot_pred": rot, "trans_pred": trans}
 
-        jitted = _jit_run(self.mesh, run, n_state_args=2)
+        jitted = _jit_run(self.mesh, run, n_state_args=3)
         self._run = lambda variables, batch: jitted(
-            variables, self.refiner_variables, batch
+            variables, self.refiner_variables,
+            self._tmp_cache if has_cache else {}, batch
         )

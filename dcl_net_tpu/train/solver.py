@@ -328,6 +328,16 @@ class Solver:
                     if self.writer:
                         self.writer.add_scalars("eval", scalars, self.epoch)
 
+    def save_due(self, i: int) -> bool:
+        """Mid-epoch checkpoint trigger — the SINGLE definition, shared by
+        maybe_save_steps and the train loop's consume-before-save ordering
+        (a pending pipelined metric record must flush before the checkpoint
+        writes its consumed-batches meta, or an interrupted+resumed run
+        drops one record vs the uninterrupted stream)."""
+        per_save_steps = int(self.cfg.get("per_save_steps", 0))
+        return bool(self.checkpoint_dir and per_save_steps and i
+                    and i % per_save_steps == 0)
+
     def maybe_save_steps(self, i: int):
         """Mid-epoch checkpointing every cfg.per_save_steps steps (the
         reference only saves per epoch; long epochs lose hours on preemption).
@@ -335,8 +345,7 @@ class Solver:
         The meta records how many batches of the current epoch are consumed;
         restore() feeds that to the loader so a resumed run replays the exact
         remaining batches (the shuffle is seeded by seed+epoch)."""
-        per_save_steps = int(self.cfg.get("per_save_steps", 0))
-        if self.checkpoint_dir and per_save_steps and i and i % per_save_steps == 0:
+        if self.save_due(i):
             from dcl_net_tpu.train.checkpoints import save_checkpoint
 
             save_checkpoint(
@@ -414,6 +423,10 @@ class Solver:
         if hasattr(self.loader, "epoch"):
             self.loader.epoch = self.epoch
         offset = getattr(self.loader, "skip_next", 0)  # mid-epoch resume
+        # host-side mirror of state.step: reading int(state.step) from the
+        # just-dispatched step's output would block until that step finishes
+        # on device, silently serializing the pipelined loop
+        step_host = None if self.state is None else int(self.state.step)
         for i0, batch in enumerate(self.loader):
             i = i0 + offset
             if profile_dir and self.epoch == 0 and i == 2:
@@ -426,21 +439,19 @@ class Solver:
             t_data = time.time() - end
             if self.state is None:
                 self.initialize(batch)
+            if step_host is None:
+                step_host = int(self.state.step)  # fresh-init state: cheap
             if self.mesh is not None:
                 from dcl_net_tpu.parallel.mesh import shard_batch
 
                 batch = shard_batch(batch, self.mesh)
             state, metrics = self.train_step(self.state, batch)
             self.state = state
-            per_save_steps = int(self.cfg.get("per_save_steps", 0))
-            save_due = bool(
-                self.checkpoint_dir and per_save_steps and i
-                and i % per_save_steps == 0
-            )
-            if pipeline and not save_due:
+            step_host += 1
+            if pipeline and not self.save_due(i):
                 if pending is not None:
                     consume(pending, end, t_excl=t_data)
-                pending = (metrics, t_data, int(self.state.step), i)
+                pending = (metrics, t_data, step_host, i)
             else:
                 # fetch THIS step's scalars now, forcing completion
                 # (block_until_ready can return early on detached TPU attach
@@ -450,11 +461,13 @@ class Solver:
                 # drop one record vs the uninterrupted stream.
                 if pending is not None:
                     consume(pending, end, t_excl=t_data)
-                    end = time.time()
-                    t_data = 0.0
+                    # the loader wait already elapsed before this reset, so
+                    # the current step's window excludes nothing further; its
+                    # real T_data still goes into the record
+                    consume((metrics, t_data, step_host, i), time.time())
                     pending = None
-                consume((metrics, t_data, int(self.state.step), i),
-                        end, t_excl=t_data)
+                else:
+                    consume((metrics, t_data, step_host, i), end, t_excl=t_data)
             self.maybe_save_steps(i)
             end = time.time()
         if pending is not None:

@@ -114,10 +114,18 @@ def main():
         for k in range(4)
     ]
 
+    # ONE evaluator reused across evals: update_variables swaps weights and
+    # re-encodes the template cache without re-tracing the eval graph — a
+    # fresh Evaluator per eval would re-jit everything each time
+    evaluator = Evaluator(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        model_points, protocol="adds_auc", template_bank=bank,
+    )
+
     def eval_auc(variables):
-        ev = Evaluator(model, variables, model_points, protocol="adds_auc",
-                       template_bank=bank)
-        return ev.evaluate(eval_batches)["auc_mean"]
+        evaluator.update_variables(variables)
+        return evaluator.evaluate(eval_batches)["auc_mean"]
 
     # identity-pose baseline on the same split (rot=I, trans=0)
     dists, clss = [], []

@@ -236,3 +236,42 @@ def test_production_config_both_stages(rng):
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss_all"]))
     assert float(metrics.get("skipped_nonfinite", 0.0)) == 0.0
+
+
+def test_update_variables_refreshes_template_cache():
+    """update_variables must re-encode the per-class template cache from the
+    NEW weights: results after update == a fresh Evaluator built with those
+    weights (a stale cache would silently score with old template features)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+    from dcl_net_tpu.eval.evaluator import Evaluator
+    from dcl_net_tpu.models import DCLNet
+
+    kw = dict(unit_voxel_extent=(0.024,) * 3, voxel_num_limit=(16,) * 3)
+    ds = SyntheticPoseDataset(n_objects=2, n_points=64, **kw, length=8)
+    batch = jax.tree.map(jnp.asarray, make_batch([ds[i] for i in range(4)]).to_dict())
+    model = DCLNet(n_inp=64, n_tmp=64, capacities=(256, 64, 16, 8), **kw)
+    va = model.init(jax.random.PRNGKey(0), batch, train=False)
+    vb = model.init(jax.random.PRNGKey(1), batch, train=False)
+
+    bank = {}
+    per_class = {}
+    for i in range(len(ds)):
+        s = ds[i]
+        per_class.setdefault(int(s["obj_idx"]), s)
+    bank = {k: np.stack([per_class[c][f"tmp_{k}"] for c in range(2)])
+            for k in ("feats", "voxel_idx")}
+    mp = np.stack([ds.model_points(c, 32) for c in range(2)])
+
+    ev = Evaluator(model, va, mp, protocol="adds_auc", template_bank=bank)
+    res_a = np.asarray(ev._run(ev.variables, batch)["adds"])
+    ev.update_variables(vb)
+    res_b = np.asarray(ev._run(ev.variables, batch)["adds"])
+
+    fresh_b = Evaluator(model, vb, mp, protocol="adds_auc", template_bank=bank)
+    res_fresh = np.asarray(fresh_b._run(fresh_b.variables, batch)["adds"])
+    np.testing.assert_allclose(res_b, res_fresh, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(res_a, res_fresh)  # weights actually differ
