@@ -367,13 +367,19 @@ class LineMODDataset(_LMBase):
         if self.mode == "train":
             state = np.random.RandomState(rng.randint(1 << 31))
             cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, state)
-        state = np.random.RandomState(rng.randint(1 << 31))
+            sel_rng = np.random.RandomState(rng.randint(1 << 31))
+        else:
+            # test/eval draw straight from the module rng: matches the
+            # reference's call sequence exactly (LM/dataloader_test_LM.py:
+            # 201-203 calls np.random.choice directly), so same-seed runs are
+            # bit-identical to the reference loader (tests/test_golden_data.py)
+            sel_rng = rng
 
         sym = 1.0 if self.objlist.index(obj) in LM_SYM_IDX else 0.0
         return self._finalize(
             cloud, rgb, obj, sym, target_r, target_t, centroid,
             self.objlist.index(obj), min_keep=128,
-            rng=state, keep_all_if_few=(self.mode == "eval"),
+            rng=sel_rng, keep_all_if_few=(self.mode == "eval"),
         )
 
 
@@ -488,8 +494,9 @@ class OcclusionLineMODDataset(_LMBase):
         target_t = (target_t - centroid).astype(np.float32)
 
         sym = 1.0 if self.objlist.index(obj) in LMO_SYM_IDX else 0.0
-        state = np.random.RandomState(rng.randint(1 << 31))
+        # module rng, same call sequence as the reference eval loader
+        # (LM/dataloader_test_LMO.py:267-269) — see LineMODDataset above
         return self._finalize(
             cloud, rgb, obj, sym, target_r, target_t, centroid,
-            self.objlist.index(obj), min_keep=0, rng=state,
+            self.objlist.index(obj), min_keep=0, rng=rng,
         )

@@ -1,0 +1,402 @@
+"""Golden DATA-layer parity against the reference's OWN dataloader code.
+
+The reference's eval dataloaders (YCBV/dataloader_test_YCBV.py,
+LM/dataloader_test_LM.py, LM/dataloader_test_LMO.py) are imported from
+/root/reference and driven on the SAME on-disk fixture trees our datasets
+read (tests/fixtures.py writes the real dataset formats). Only environment
+shims are stubbed — none of the pipeline logic:
+
+  - open3d: PLY parsing / mesh surface sampling delegate to
+    dcl_net_tpu.data.ply (o3d's C++ sampler is unavailable here). For YCBV
+    the reference samples CAD points itself with np.random(seed=1), so CAD
+    sampling parity is bit-level; for LM/LMO both sides share the sampler.
+  - pointgroup_ops.voxelization_idx: echoes its input, so the comparison
+    pins everything UP TO voxelization (covered by tests/test_ops.py
+    oracles and tests/test_backbone_parity.py).
+  - cv2.findContours: adapted from the removed OpenCV-3 3-tuple API
+    (reference LM/dataloader_test_LM.py:17 unpacks three values).
+  - yaml.load without a Loader (removed in PyYAML 6): safe_load.
+  - np.float (removed in numpy 2): float.
+
+Eval-mode __getitem__ randomness is a single np.random.choice per instance
+in both implementations (reference YCBV :171-174, LM :201-203, LMO
+:267-269; our loaders draw from the module rng with the same call
+sequence), so seeding the global RNG identically before each fetch makes
+the whole comparison deterministic.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests import fixtures  # noqa: E402
+from tests.test_golden_reference import _install_reference_stubs  # noqa: E402
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not available"
+)
+
+
+# ---------------------------------------------------------------- stubs
+
+
+class _StubPointCloud:
+    def __init__(self, points, colors):
+        self.points = points
+        self.colors = colors
+
+
+_MESH_RNG = {"rng": None}  # reset per reference-dataset construction
+
+
+class _StubMesh:
+    def __init__(self, ply):
+        self._ply = ply
+
+    def sample_points_uniformly(self, number_of_points):
+        from dcl_net_tpu.data.ply import sample_points_uniformly
+
+        pts, cols = sample_points_uniformly(
+            self._ply["points"], self._ply["faces"], number_of_points,
+            _MESH_RNG["rng"], self._ply.get("colors"),
+        )
+        if cols is None:
+            cols = np.zeros_like(pts)
+        return _StubPointCloud(pts.astype(np.float64), cols.astype(np.float64))
+
+
+class _CV2Shim:
+    """OpenCV>=4 findContours returns (contours, hierarchy); the reference
+    unpacks the OpenCV-3 (image, contours, hierarchy) triple."""
+
+    def __getattr__(self, name):
+        import cv2
+
+        return getattr(cv2, name)
+
+    def findContours(self, *args, **kwargs):
+        import cv2
+
+        out = cv2.findContours(*args, **kwargs)
+        return (None,) + tuple(out) if len(out) == 2 else out
+
+
+def _install_data_stubs():
+    _install_reference_stubs()
+    if not hasattr(np, "float"):
+        np.float = float  # numpy<1.24 alias used by the reference loaders
+    from dcl_net_tpu.data.ply import read_ply
+
+    def read_point_cloud(path):
+        d = read_ply(path)
+        cols = d.get("colors")
+        return _StubPointCloud(
+            d["points"].astype(np.float64),
+            None if cols is None else cols.astype(np.float64),
+        )
+
+    o3d = types.ModuleType("open3d")
+    o3d.io = types.SimpleNamespace(
+        read_point_cloud=read_point_cloud,
+        read_triangle_mesh=lambda path: _StubMesh(read_ply(path)),
+    )
+    sys.modules["open3d"] = o3d
+
+    def _euler2mat(*a, **kw):  # train-mode aug only; never hit in eval
+        raise NotImplementedError("train aug is outside the golden data test")
+
+    t3d = types.ModuleType("transforms3d")
+    t3d_euler = types.ModuleType("transforms3d.euler")
+    t3d_euler.euler2mat = _euler2mat
+    t3d.euler = t3d_euler
+    sys.modules["transforms3d"] = t3d
+    sys.modules["transforms3d.euler"] = t3d_euler
+
+    pg = sys.modules["libs.pointgroup_ops.functions"].pointgroup_ops
+    pg.voxelization_idx = lambda idx, b, mode: (idx, None, None)
+
+
+def _import_ref(relpath, name):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF_ROOT, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _cfg(unit, limit=64, n=1024):
+    return types.SimpleNamespace(
+        input_size=n, tmp_size=n,
+        unit_voxel_extent=[unit] * 3, voxel_num_limit=[limit] * 3,
+        voxelization_mode=4,
+    )
+
+
+def _chdir(path):
+    cwd = os.getcwd()
+    os.chdir(path)
+    return cwd
+
+
+# ---------------------------------------------------------------- YCBV
+
+
+@pytest.fixture(scope="module")
+def ycbv_pair(tmp_path_factory):
+    """(reference YCBDataset, our YCBVTestDataset, n_frames) on one fixture
+    tree; the reference's hardcoded ./YCBV/... and ./datasets/... relative
+    paths are satisfied by a symlinked sandbox CWD during init."""
+    tmp = str(tmp_path_factory.mktemp("golden_ycbv"))
+    root, assets = fixtures.make_ycbv_fixture(tmp, n_classes=3, n_frames=2)
+
+    sandbox = os.path.join(tmp, "sandbox")
+    os.makedirs(os.path.join(sandbox, "YCBV", "utils_YCBV"))
+    os.makedirs(os.path.join(sandbox, "datasets", "YCBV_Masks"))
+    os.symlink(os.path.join(assets, "CADs"),
+               os.path.join(sandbox, "YCBV", "CADs"))
+    os.symlink(os.path.join(assets, "test_data_list.txt"),
+               os.path.join(sandbox, "YCBV", "utils_YCBV", "test_data_list.txt"))
+    os.symlink(os.path.join(assets, "classes.txt"),
+               os.path.join(sandbox, "YCBV", "utils_YCBV", "classes.txt"))
+    masks = os.path.join(assets, "YCBV_Masks", "Masks_FFB6D")
+    os.symlink(masks,
+               os.path.join(sandbox, "datasets", "YCBV_Masks", "Masks_FFB6D"))
+
+    _install_data_stubs()
+    ref_mod = _import_ref("YCBV/dataloader_test_YCBV.py", "ref_dl_test_ycbv")
+    cfg = _cfg(unit=0.006)
+    cwd = _chdir(sandbox)
+    try:
+        ref_ds = ref_mod.YCBDataset("test", cfg, root=root)
+    finally:
+        os.chdir(cwd)
+    ref_ds.path_mask = masks  # absolute: __getitem__ runs outside the sandbox
+
+    from dcl_net_tpu.data.ycbv import YCBVTestDataset
+
+    our_ds = YCBVTestDataset(cfg, root, assets_dir=assets)
+    return ref_ds, our_ds, 2
+
+
+def test_ycbv_test_dataset_matches_reference_code(ycbv_pair):
+    ref_ds, our_ds, n_frames = ycbv_pair
+    assert len(ref_ds) == len(our_ds)
+    n_inp = our_ds.n_inp
+    for i in range(n_frames):
+        np.random.seed(1000 + i)
+        ref = ref_ds[i]
+        np.random.seed(1000 + i)
+        ours = our_ds[i]
+
+        merged = sorted(
+            [("s", s) for s in ours["samples"]]
+            + [("l", l) for l in ours["lost"]],
+            key=lambda kv: kv[1]["gt_pos"],
+        )
+        flags = ref["all_flags"].numpy()
+        assert len(merged) == flags.shape[0]
+        np.testing.assert_array_equal(
+            flags, [1 if k == "s" else 0 for k, _ in merged]
+        )
+
+        valid = [v for k, v in merged if k == "s"]
+        b = len(valid)
+        assert b == int(flags.sum())
+
+        for branch, npt in (("inp", n_inp), ("tmp", our_ds.n_tmp)):
+            feats = ref[branch]["feats"].numpy().reshape(b, npt, 7)
+            np.testing.assert_allclose(
+                feats,
+                np.stack([s[f"{branch}_feats"] for s in valid]),
+                rtol=0, atol=2e-6, err_msg=f"frame {i} {branch} feats",
+            )
+            # voxelization_idx is stubbed to echo its input: occupied_voxels
+            # holds the raw [b*npt, 4] (batch_id, voxel_idx) rows
+            raw = ref[branch]["occupied_voxels"].numpy()
+            np.testing.assert_array_equal(
+                raw[:, 0], np.repeat(np.arange(b), npt)
+            )
+            np.testing.assert_array_equal(
+                raw[:, 1:].reshape(b, npt, 3),
+                np.stack([s[f"{branch}_voxel_idx"] for s in valid]),
+                err_msg=f"frame {i} {branch} voxel idx",
+            )
+
+        np.testing.assert_allclose(
+            ref["labels"]["rot_gt"].numpy(),
+            np.stack([s["rot_gt"] for s in valid]), rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ref["labels"]["trans_gt"].numpy(),
+            np.stack([s["trans_gt"] for s in valid]), rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ref["all_centroids"].numpy(),
+            np.stack([s["centroid"] for s in valid]), rtol=0, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            ref["obj_idx"].numpy(), [int(v["obj_idx"]) for _, v in merged]
+        )
+        # extras carry EVERY gt instance (valid rows centroid-relative,
+        # lost rows raw) in gt order — same convention as our rows
+        np.testing.assert_allclose(
+            ref["extra"]["rot_gt_extra"].numpy(),
+            np.stack([v["rot_gt"] for _, v in merged]), rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ref["extra"]["trans_gt_extra"].numpy(),
+            np.stack([v["trans_gt"] for _, v in merged]), rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ref["extra"]["points_tmp_extra"].numpy(),
+            np.stack([
+                our_ds.pc_cad[int(v["obj_idx"]) + 1] / 1000.0
+                for _, v in merged
+            ]), rtol=0, atol=1e-6,
+        )
+
+
+# ---------------------------------------------------------------- LineMOD
+
+
+@pytest.fixture(scope="module")
+def lm_pair(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("golden_lm"))
+    lm_root = fixtures.make_linemod_fixture(tmp)
+
+    _install_data_stubs()
+    ref_mod = _import_ref("LM/dataloader_test_LM.py", "ref_dl_test_lm")
+    import yaml as _yaml
+
+    ref_mod.yaml = types.SimpleNamespace(
+        load=lambda f, **kw: _yaml.safe_load(f)
+    )
+    ref_mod.cv2 = _CV2Shim()
+    cfg = _cfg(unit=0.005)
+    _MESH_RNG["rng"] = np.random.RandomState(0)
+    ref_ds = ref_mod.Dataset("eval", cfg, root=lm_root)
+
+    from dcl_net_tpu.data.linemod import LineMODDataset
+
+    our_ds = LineMODDataset("eval", cfg, lm_root)
+    return ref_ds, our_ds
+
+
+def _assert_tuple_matches_row(ref_item, row, i, check_cad_parity=True):
+    """Compare a reference LM/LMO getitem tuple against our sample dict."""
+    (feat_inp, vidx_inp, feat_tmp, vidx_tmp, sym, rot, trans, obj_idx,
+     _path, centroid) = ref_item
+    assert float(sym[0]) != -1.0, f"frame {i}: reference row invalid"
+    assert row["valid"] == 1.0, f"frame {i}: our row invalid"
+    np.testing.assert_allclose(
+        feat_inp.numpy(), row["inp_feats"], rtol=0, atol=2e-6,
+        err_msg=f"frame {i} inp feats",
+    )
+    np.testing.assert_array_equal(
+        vidx_inp.numpy(), row["inp_voxel_idx"], err_msg=f"frame {i} inp vidx"
+    )
+    if check_cad_parity:
+        np.testing.assert_allclose(
+            feat_tmp.numpy(), row["tmp_feats"], rtol=0, atol=2e-6,
+            err_msg=f"frame {i} tmp feats",
+        )
+        np.testing.assert_array_equal(
+            vidx_tmp.numpy(), row["tmp_voxel_idx"],
+            err_msg=f"frame {i} tmp vidx",
+        )
+    np.testing.assert_array_equal(float(sym[0]), float(row["sym_flag"]))
+    np.testing.assert_allclose(rot.numpy(), row["rot_gt"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(trans.numpy(), row["trans_gt"], rtol=0, atol=1e-6)
+    assert int(obj_idx[0]) == int(row["obj_idx"])
+    np.testing.assert_allclose(
+        centroid.numpy(), row["centroid"], rtol=0, atol=1e-6
+    )
+
+
+def test_lm_eval_dataset_matches_reference_code(lm_pair):
+    ref_ds, our_ds = lm_pair
+    # the reference's shared every-10th readline counter (EOF-iteration
+    # quirk, LM/dataloader_test_LM.py:69-77) must yield the same frame list
+    assert len(ref_ds) == len(our_ds)
+    assert ref_ds.list_rgb == our_ds.list_rgb
+    assert ref_ds.list_obj == our_ds.list_obj
+    for i in range(len(ref_ds)):
+        np.random.seed(2000 + i)
+        ref_item = ref_ds[i]
+        np.random.seed(2000 + i)
+        row = our_ds[i]
+        _assert_tuple_matches_row(ref_item, row, i)
+
+
+# ---------------------------------------------------------------- LMO
+
+
+@pytest.fixture(scope="module")
+def lmo_pair(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("golden_lmo"))
+    lm_root = fixtures.make_linemod_fixture(tmp)
+    lmo_root, masks_root = fixtures.make_lmo_fixture(tmp, lm_root)
+
+    # the reference hardcodes ./datasets/{Linemod_preprocessed,LMO_Masks}
+    sandbox = os.path.join(tmp, "sandbox")
+    os.makedirs(os.path.join(sandbox, "datasets"))
+    os.symlink(lm_root, os.path.join(sandbox, "datasets", "Linemod_preprocessed"))
+    os.symlink(masks_root, os.path.join(sandbox, "datasets", "LMO_Masks"))
+
+    _install_data_stubs()
+    ref_mod = _import_ref("LM/dataloader_test_LMO.py", "ref_dl_test_lmo")
+    ref_mod.cv2 = _CV2Shim()
+    cfg = _cfg(unit=0.005)
+    _MESH_RNG["rng"] = np.random.RandomState(0)
+    cwd = _chdir(sandbox)
+    try:
+        ref_ds = ref_mod.Dataset("eval", cfg, root=lmo_root)
+        # label paths are sandbox-relative; absolutize for __getitem__
+        ref_ds.list_label = [
+            os.path.join(sandbox, p) for p in ref_ds.list_label
+        ]
+    finally:
+        os.chdir(cwd)
+
+    from dcl_net_tpu.data.linemod import OcclusionLineMODDataset
+
+    our_ds = OcclusionLineMODDataset(
+        "eval", cfg, lmo_root,
+        lm_models_dir=os.path.join(lm_root, "models"), masks_dir=masks_root,
+    )
+    return ref_ds, our_ds
+
+
+def test_lmo_eval_dataset_matches_reference_code(lmo_pair):
+    ref_ds, our_ds = lmo_pair
+    assert len(ref_ds) == len(our_ds)
+    assert [os.path.basename(p) for p in ref_ds.list_rgb] == \
+        [os.path.basename(p) for p in our_ds.list_rgb]
+    assert ref_ds.list_obj == our_ds.list_obj
+    for i in range(len(ref_ds)):
+        # pose labels (alignment flipping + rotation-only LM->LMO compose)
+        np.testing.assert_allclose(
+            np.asarray(ref_ds.list_rot[i]), our_ds.list_rot[i],
+            rtol=0, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref_ds.list_trans[i]), our_ds.list_trans[i],
+            rtol=0, atol=1e-6,
+        )
+        np.random.seed(3000 + i)
+        ref_item = ref_ds[i]
+        np.random.seed(3000 + i)
+        row = our_ds[i]
+        _assert_tuple_matches_row(ref_item, row, i)
