@@ -365,21 +365,16 @@ class LineMODDataset(_LMBase):
         target_t = target_t - centroid.astype(np.float32)
 
         if self.mode == "train":
-            state = np.random.RandomState(rng.randint(1 << 31))
-            cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, state)
-            sel_rng = np.random.RandomState(rng.randint(1 << 31))
-        else:
-            # test/eval draw straight from the module rng: matches the
-            # reference's call sequence exactly (LM/dataloader_test_LM.py:
-            # 201-203 calls np.random.choice directly), so same-seed runs are
-            # bit-identical to the reference loader (tests/test_golden_data.py)
-            sel_rng = rng
+            cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, rng)
 
+        # module rng straight through: same draw sequence as the reference
+        # loader (LM/dataloader_test_LM.py aug + np.random.choice resample),
+        # so same-seed fetches are bit-comparable (tests/test_golden_data.py)
         sym = 1.0 if self.objlist.index(obj) in LM_SYM_IDX else 0.0
         return self._finalize(
             cloud, rgb, obj, sym, target_r, target_t, centroid,
             self.objlist.index(obj), min_keep=128,
-            rng=sel_rng, keep_all_if_few=(self.mode == "eval"),
+            rng=rng, keep_all_if_few=(self.mode == "eval"),
         )
 
 

@@ -29,13 +29,32 @@ from dcl_net_tpu.data.schema import make_batch
 _WORKER_DATASET = None
 
 
-def _init_worker(dataset) -> None:
+def _init_worker(dataset, seed_counter=None, base_seed=0) -> None:
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
+    if seed_counter is not None:
+        # distinct per-worker RNG streams (base_seed + worker_id, like torch
+        # DataLoader): forkserver workers otherwise all inherit the SAME
+        # np.random/random state from the server process, producing
+        # identical augmentation draws in every worker
+        import random
+
+        with seed_counter.get_lock():
+            worker_id = seed_counter.value
+            seed_counter.value += 1
+        seed = (int(base_seed) + worker_id) % (2 ** 32)
+        np.random.seed(seed)
+        random.seed(seed)
 
 
 def _worker_get(i):
     return _WORKER_DATASET[int(i)]
+
+
+def _worker_ping():
+    import os
+
+    return os.getpid()
 
 
 class _ProcessPool:
@@ -55,14 +74,30 @@ class _ProcessPool:
     owning loader to tear it down.
     """
 
-    def __init__(self, num_workers: int, dataset):
+    def __init__(self, num_workers: int, dataset, base_seed: int = 0,
+                 start_timeout: float = 180.0):
         import multiprocessing as mp
 
         ctx = mp.get_context("forkserver")
+        counter = ctx.Value("i", 0)  # hands out worker ids for RNG seeding
         self._pool = ctx.Pool(
-            num_workers, initializer=_init_worker, initargs=(dataset,)
+            num_workers, initializer=_init_worker,
+            initargs=(dataset, counter, base_seed),
         )
         self._num_workers = num_workers
+        # fail fast if workers cannot start: forkserver re-imports __main__
+        # in each worker, so a non-file main module (stdin/notebook) kills
+        # every worker at spawn and the first map() would hang FOREVER —
+        # surface that as an error instead
+        try:
+            self._pool.apply_async(_worker_ping).get(start_timeout)
+        except mp.TimeoutError:
+            self._pool.terminate()
+            raise RuntimeError(
+                f"process workers failed to start within {start_timeout:.0f}s"
+                " — if __main__ is not a real file (stdin/notebook/REPL),"
+                " process workers cannot spawn; use worker_type='thread'"
+            ) from None
 
     def map(self, _fn, indices):
         idx = [int(i) for i in indices]
@@ -97,7 +132,10 @@ class _PoolOwner:
             return ThreadPoolExecutor(max_workers=self.num_workers)
         if self.worker_type == "process":
             if getattr(self, "_proc_pool", None) is None:
-                self._proc_pool = _ProcessPool(self.num_workers, self.dataset)
+                self._proc_pool = _ProcessPool(
+                    self.num_workers, self.dataset,
+                    base_seed=getattr(self, "seed", 0),
+                )
             return self._proc_pool
         raise ValueError(
             f"worker_type must be 'thread' or 'process', got {self.worker_type!r}"

@@ -116,15 +116,25 @@ def se3_augment(
     """SE(3) training augmentation (reference YCBV/dataloader_train_YCBV.py:
     161-177): rotate the object frame by a random +-5deg euler rotation and
     jitter the translation by +-3cm, transforming the observed cloud
-    consistently."""
+    consistently.
+
+    Draw-for-draw identical to the reference: three separate angle draws
+    from `rng` (the reference's np.random.uniform calls), then three PYTHON
+    random.uniform translation jitters (the reference uses the `random`
+    module there), so same-seed samples are bit-comparable
+    (tests/test_golden_data.py). Worker processes get distinct seeds for
+    both RNGs (data/loader.py:_init_worker)."""
+    import random as py_random
+
     from scipy.spatial.transform import Rotation
 
-    a = rng.uniform(-angle_range, angle_range, 3)
-    # transforms3d euler2mat 'sxyz' == scipy extrinsic xyz
+    a = [rng.uniform(-angle_range, angle_range) for _ in range(3)]
+    # transforms3d euler2mat(a1,a2,a3) default 'sxyz' == scipy extrinsic xyz
     aug_r = Rotation.from_euler("xyz", a).as_matrix().astype(np.float32)
     cloud_obj = (cloud - target_t) @ target_r  # canonicalize
     target_t = target_t + np.array(
-        [rng.uniform(-trans_range, trans_range) for _ in range(3)], np.float32
+        [py_random.uniform(-trans_range, trans_range) for _ in range(3)],
+        np.float32,
     )
     target_r = (target_r @ aug_r).astype(np.float32)
     cloud = cloud_obj @ target_r.T + target_t

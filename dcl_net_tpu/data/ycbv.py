@@ -185,10 +185,13 @@ class YCBVTrainDataset:
         cloud = (cloud - centroid).astype(np.float32)
         target_t = target_t - centroid.astype(np.float32)
 
-        state = np.random.RandomState(rng.randint(1 << 31))
-        cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, state)
+        # module rng straight through: the draw sequence (instance randint,
+        # 3 angle uniforms, 3 python-random translation uniforms, resample
+        # choice) matches the reference loader call for call, so same-seed
+        # samples are bit-comparable (tests/test_golden_data.py)
+        cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, rng)
 
-        res = pp.filter_and_resample(cloud, rgb, self.total, self.n_inp, state,
+        res = pp.filter_and_resample(cloud, rgb, self.total, self.n_inp, rng,
                                      self.min_pt)
         if res is None:
             return self._invalid()

@@ -48,8 +48,11 @@ def _render_sphere(depth, label, cx, cy, fx, fy, center, radius, label_value,
 
 
 def make_ycbv_fixture(tmpdir: str, n_classes: int = 3, n_frames: int = 2,
-                      seed: int = 0):
-    """Create a miniature YCB-Video tree + assets. Returns (root, assets)."""
+                      seed: int = 0, second_video: bool = False):
+    """Create a miniature YCB-Video tree + assets. Returns (root, assets).
+
+    second_video adds frames under data/0060 (videos >= 60 use the second
+    camera intrinsics set, reference YCBV/dataloader_train_YCBV.py:113-122)."""
     from PIL import Image
     import scipy.io as sio
 
@@ -58,7 +61,9 @@ def make_ycbv_fixture(tmpdir: str, n_classes: int = 3, n_frames: int = 2,
     assets = os.path.join(tmpdir, "YCB_Video_Dataset")
     cad_dir = os.path.join(assets, "CADs")
     masks_dir = os.path.join(assets, "YCBV_Masks", "Masks_FFB6D")
-    os.makedirs(os.path.join(root, "data", "0001"), exist_ok=True)
+    video_ids = ["0001"] + (["0060"] if second_video else [])
+    for vid in video_ids:
+        os.makedirs(os.path.join(root, "data", vid), exist_ok=True)
     os.makedirs(cad_dir, exist_ok=True)
     os.makedirs(masks_dir, exist_ok=True)
 
@@ -72,9 +77,10 @@ def make_ycbv_fixture(tmpdir: str, n_classes: int = 3, n_frames: int = 2,
 
     cam = dict(cx=312.9869, cy=241.3109, fx=1066.778, fy=1067.487)
     frames = []
-    for fi in range(n_frames):
-        frame = f"data/0001/{fi + 1:06d}"
-        frames.append(frame)
+    for vid in video_ids:
+        for fi in range(n_frames):
+            frames.append(f"data/{vid}/{fi + 1:06d}")
+    for frame in frames:
         img = rng.randint(0, 255, (480, 640, 3), np.uint8)
         depth = np.zeros((480, 640), np.uint16)
         label = np.zeros((480, 640), np.uint8)

@@ -118,6 +118,33 @@ def test_process_worker_loader_matches_thread(ycbv_dirs):
                 np.asarray(batch["tmp"]["feats"][i]), bank["feats"][c])
 
 
+class _RngProbeDataset:
+    """Each fetch returns the worker's next np.random draw — exposes
+    whether worker processes share an RNG stream."""
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        return {"draw": np.float64(np.random.randint(1 << 62))}
+
+
+def test_process_workers_have_distinct_rng_streams():
+    """Forkserver workers all inherit the server's np.random state; without
+    per-worker seeding (loader._init_worker) every worker would draw the
+    SAME augmentation sequence (the classic numpy+fork bug torch's
+    DataLoader seeds around). 8 draws across 2 workers must be unique."""
+    from dcl_net_tpu.data.loader import _ProcessPool
+
+    pool = _ProcessPool(2, _RngProbeDataset(), base_seed=123)
+    try:
+        rows = pool.map(None, range(8))
+    finally:
+        pool.close()
+    draws = [float(r["draw"]) for r in rows]
+    assert len(set(draws)) == len(draws), draws
+
+
 def test_ycbv_test_dataset_and_lost(ycbv_dirs):
     from dcl_net_tpu.data.ycbv import YCBVTestDataset
 

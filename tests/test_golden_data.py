@@ -112,8 +112,15 @@ def _install_data_stubs():
     )
     sys.modules["open3d"] = o3d
 
-    def _euler2mat(*a, **kw):  # train-mode aug only; never hit in eval
-        raise NotImplementedError("train aug is outside the golden data test")
+    def _euler2mat(ai, aj, ak, axes="sxyz"):
+        # transforms3d euler2mat 'sxyz' (static xyz) == scipy extrinsic xyz.
+        # NOTE both the stub and our pp.se3_augment derive the convention
+        # from scipy, so the train parity test pins the aug COMPOSITION and
+        # draw sequence, not the euler-axes convention itself.
+        assert axes == "sxyz"
+        from scipy.spatial.transform import Rotation
+
+        return Rotation.from_euler("xyz", [ai, aj, ak]).as_matrix()
 
     t3d = types.ModuleType("transforms3d")
     t3d_euler = types.ModuleType("transforms3d.euler")
@@ -268,6 +275,95 @@ def test_ycbv_test_dataset_matches_reference_code(ycbv_pair):
         )
 
 
+# ------------------------------------------------------------- YCBV train
+
+
+@pytest.fixture(scope="module")
+def ycbv_train_pair(tmp_path_factory):
+    """Train datasets on a fixture with a data/0060 video so the
+    second-camera intrinsics branch (reference :113-122) is exercised."""
+    tmp = str(tmp_path_factory.mktemp("golden_ycbv_train"))
+    root, assets = fixtures.make_ycbv_fixture(
+        tmp, n_classes=3, n_frames=2, second_video=True
+    )
+    sandbox = os.path.join(tmp, "sandbox")
+    os.makedirs(os.path.join(sandbox, "YCBV", "utils_YCBV"))
+    os.symlink(os.path.join(assets, "CADs"),
+               os.path.join(sandbox, "YCBV", "CADs"))
+    for fn in ("train_data_list.txt", "classes.txt"):
+        os.symlink(os.path.join(assets, fn),
+                   os.path.join(sandbox, "YCBV", "utils_YCBV", fn))
+
+    _install_data_stubs()
+    ref_mod = _import_ref("YCBV/dataloader_train_YCBV.py", "ref_dl_train_ycbv")
+    cfg = _cfg(unit=0.006)
+    cwd = _chdir(sandbox)
+    try:
+        ref_ds = ref_mod.Dataset("train", cfg, root=root)
+    finally:
+        os.chdir(cwd)
+
+    from dcl_net_tpu.data.ycbv import YCBVTrainDataset
+
+    our_ds = YCBVTrainDataset(cfg, root, assets_dir=assets)
+    return ref_ds, our_ds
+
+
+def test_ycbv_train_dataset_matches_reference_code(ycbv_train_pair):
+    """Seeding np.random AND python random identically makes the whole
+    augmented train sample bit-comparable: instance-selection randint, 3
+    euler-angle uniforms, 3 python-random translation jitters, and the
+    resample choice follow the reference's exact call sequence."""
+    import random as py_random
+
+    ref_ds, our_ds = ycbv_train_pair
+    assert len(ref_ds) == len(our_ds)
+    for i in range(len(ref_ds)):
+        np.random.seed(4000 + i)
+        py_random.seed(8000 + i)
+        (feat_inp, vidx_inp, feat_tmp, vidx_tmp, sym, rot, trans, obj_idx,
+         _path, radius) = ref_ds[i]
+        np.random.seed(4000 + i)
+        py_random.seed(8000 + i)
+        row = our_ds[i]
+
+        assert float(sym[0]) != -1.0 and row["valid"] == 1.0, f"frame {i}"
+        # Under numpy>=2 scalar promotion the reference's factor_depth
+        # (float64 .mat scalar) lifts the whole cloud through float64 where
+        # ours stays float32 (matching the reference's PUBLISHED numpy-1
+        # value-based-casting behavior) — allow ~1e-4 absolute drift and
+        # voxel flips only at quantization edges.
+        np.testing.assert_allclose(
+            feat_inp.numpy(), row["inp_feats"], rtol=0, atol=1e-4,
+            err_msg=f"frame {i} inp feats",
+        )
+        _assert_vidx_close(
+            vidx_inp.numpy(), row["inp_voxel_idx"], f"frame {i} inp vidx"
+        )
+        np.testing.assert_allclose(
+            feat_tmp.numpy(), row["tmp_feats"], rtol=0, atol=2e-6,
+            err_msg=f"frame {i} tmp feats",
+        )
+        np.testing.assert_array_equal(vidx_tmp.numpy(), row["tmp_voxel_idx"])
+        np.testing.assert_array_equal(float(sym[0]), float(row["sym_flag"]))
+        np.testing.assert_allclose(rot.numpy(), row["rot_gt"], rtol=0, atol=1e-5)
+        np.testing.assert_allclose(trans.numpy(), row["trans_gt"], rtol=0, atol=1e-4)
+        assert int(obj_idx[0]) == int(row["obj_idx"])
+        np.testing.assert_allclose(
+            float(radius[0]), float(row["radius"]), rtol=1e-6
+        )
+
+
+def _assert_vidx_close(ref_vidx, our_vidx, msg):
+    """Voxel indices must be identical except where float64-vs-float32
+    rounding puts a point exactly on a voxel boundary: differences are
+    capped at +-1 and must be vanishingly rare."""
+    diff = np.abs(ref_vidx.astype(np.int64) - our_vidx.astype(np.int64))
+    assert diff.max() <= 1, msg
+    frac = (diff != 0).mean()
+    assert frac < 5e-3, f"{msg}: {frac:.4%} boundary flips"
+
+
 # ---------------------------------------------------------------- LineMOD
 
 
@@ -377,6 +473,73 @@ def lmo_pair(tmp_path_factory):
         lm_models_dir=os.path.join(lm_root, "models"), masks_dir=masks_root,
     )
     return ref_ds, our_ds
+
+
+@pytest.fixture(scope="module")
+def lm_train_pair(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("golden_lm_train"))
+    lm_root = fixtures.make_linemod_fixture(tmp)
+
+    _install_data_stubs()
+    ref_mod = _import_ref("LM/dataloader_train_LM.py", "ref_dl_train_lm")
+    import yaml as _yaml
+
+    ref_mod.yaml = types.SimpleNamespace(
+        load=lambda f, **kw: _yaml.safe_load(f)
+    )
+    ref_mod.cv2 = _CV2Shim()
+    cfg = _cfg(unit=0.005)
+    _MESH_RNG["rng"] = np.random.RandomState(0)
+    ref_ds = ref_mod.Dataset("train", cfg, root=lm_root)
+
+    from dcl_net_tpu.data.linemod import LineMODDataset
+
+    our_ds = LineMODDataset("train", cfg, lm_root)
+    return ref_ds, our_ds
+
+
+def test_lm_train_dataset_matches_reference_code(lm_train_pair):
+    """Full train path incl. the occlusion augmentation: its draws
+    (python-random other-frame choice + two np.random paste offsets) and
+    the SE(3) aug draws follow the reference call for call. The fixture
+    geometry keeps pastes clear of the reference's end_x>480 clipping bug
+    (which our loader deliberately fixes)."""
+    import random as py_random
+
+    ref_ds, our_ds = lm_train_pair
+    assert len(ref_ds) == len(our_ds)
+    assert ref_ds.list_rgb == our_ds.list_rgb
+    for i in range(len(ref_ds)):
+        np.random.seed(6000 + i)
+        py_random.seed(7000 + i)
+        ref_item = ref_ds[i]
+        np.random.seed(6000 + i)
+        py_random.seed(7000 + i)
+        row = our_ds[i]
+        (feat_inp, vidx_inp, feat_tmp, vidx_tmp, sym, rot, trans, obj_idx,
+         _path, centroid) = ref_item
+        if float(sym[0]) == -1.0:
+            assert row["valid"] == 0.0, f"frame {i}"
+            continue
+        assert row["valid"] == 1.0, f"frame {i}"
+        np.testing.assert_allclose(
+            feat_inp.numpy(), row["inp_feats"], rtol=0, atol=5e-5,
+            err_msg=f"frame {i} inp feats",
+        )
+        _assert_vidx_close(
+            vidx_inp.numpy(), row["inp_voxel_idx"], f"frame {i} inp vidx"
+        )
+        np.testing.assert_allclose(
+            feat_tmp.numpy(), row["tmp_feats"], rtol=0, atol=2e-6,
+        )
+        np.testing.assert_array_equal(vidx_tmp.numpy(), row["tmp_voxel_idx"])
+        np.testing.assert_array_equal(float(sym[0]), float(row["sym_flag"]))
+        np.testing.assert_allclose(rot.numpy(), row["rot_gt"], rtol=0, atol=1e-5)
+        np.testing.assert_allclose(trans.numpy(), row["trans_gt"], rtol=0, atol=1e-5)
+        assert int(obj_idx[0]) == int(row["obj_idx"])
+        np.testing.assert_allclose(
+            centroid.numpy(), row["centroid"], rtol=0, atol=1e-5
+        )
 
 
 def test_lmo_eval_dataset_matches_reference_code(lmo_pair):
