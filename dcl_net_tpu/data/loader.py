@@ -33,16 +33,21 @@ def _init_worker(dataset, seed_counter=None, base_seed=0) -> None:
     global _WORKER_DATASET
     _WORKER_DATASET = dataset
     if seed_counter is not None:
-        # distinct per-worker RNG streams (base_seed + worker_id, like torch
-        # DataLoader): forkserver workers otherwise all inherit the SAME
+        # distinct per-worker RNG streams (like torch DataLoader's worker
+        # seeding): forkserver workers otherwise all inherit the SAME
         # np.random/random state from the server process, producing
-        # identical augmentation draws in every worker
+        # identical augmentation draws in every worker. SeedSequence
+        # spreads (base_seed, worker_id) through a hash so worker streams
+        # don't collide with each other, with adjacent base seeds, or with
+        # BatchLoader's small-int-seeded shuffle RandomStates.
         import random
 
         with seed_counter.get_lock():
             worker_id = seed_counter.value
             seed_counter.value += 1
-        seed = (int(base_seed) + worker_id) % (2 ** 32)
+        seed = int(
+            np.random.SeedSequence((int(base_seed), worker_id)).generate_state(1)[0]
+        )
         np.random.seed(seed)
         random.seed(seed)
 
@@ -93,10 +98,14 @@ class _ProcessPool:
             self._pool.apply_async(_worker_ping).get(start_timeout)
         except mp.TimeoutError:
             self._pool.terminate()
+            self._pool.join()
             raise RuntimeError(
-                f"process workers failed to start within {start_timeout:.0f}s"
-                " — if __main__ is not a real file (stdin/notebook/REPL),"
-                " process workers cannot spawn; use worker_type='thread'"
+                f"process workers failed to start within {start_timeout:.0f}s."
+                " Common causes: __main__ is not a real file"
+                " (stdin/notebook/REPL — forkserver re-imports it, so such"
+                " workers die at spawn; use worker_type='thread'), or the"
+                " dataset's initializer pickle is genuinely slower than the"
+                " timeout (pass a larger start_timeout)"
             ) from None
 
     def map(self, _fn, indices):
@@ -180,8 +189,12 @@ class BatchLoader(_PoolOwner):
         self.to_jax = to_jax
         self.epoch = 0
         # mid-epoch resume: next iteration skips this many leading batches
-        # (the shuffle is seeded by seed+epoch, so the skipped prefix is
-        # exactly the consumed one); reset to 0 after one use.
+        # (the shuffle is seeded by seed+epoch, so the skipped SAMPLE
+        # INDICES are exactly the consumed ones); reset to 0 after one use.
+        # Augmentation draws come from per-worker RNG streams whose
+        # index->worker assignment is scheduling-dependent, so replayed
+        # samples are index-identical but not draw-identical — the same
+        # contract as torch's DataLoader with num_workers>0.
         self.skip_next = 0
 
     def __len__(self) -> int:

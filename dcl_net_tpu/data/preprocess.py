@@ -112,6 +112,7 @@ def se3_augment(
     rng: np.random.RandomState,
     angle_range: float = np.pi / 36.0,
     trans_range: float = 0.03,
+    trans_rng=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """SE(3) training augmentation (reference YCBV/dataloader_train_YCBV.py:
     161-177): rotate the object frame by a random +-5deg euler rotation and
@@ -119,21 +120,24 @@ def se3_augment(
     consistently.
 
     Draw-for-draw identical to the reference: three separate angle draws
-    from `rng` (the reference's np.random.uniform calls), then three PYTHON
-    random.uniform translation jitters (the reference uses the `random`
-    module there), so same-seed samples are bit-comparable
-    (tests/test_golden_data.py). Worker processes get distinct seeds for
-    both RNGs (data/loader.py:_init_worker)."""
-    import random as py_random
-
+    from `rng` (the reference's np.random.uniform calls), then three
+    `trans_rng.uniform` translation jitters. `trans_rng` defaults to the
+    process-global PYTHON `random` module — the reference uses it there —
+    so same-seed samples are bit-comparable (tests/test_golden_data.py);
+    callers needing self-contained determinism pass a `random.Random`
+    instance explicitly. Worker processes get distinct seeds for both RNG
+    streams (data/loader.py:_init_worker)."""
     from scipy.spatial.transform import Rotation
+
+    if trans_rng is None:
+        import random as trans_rng
 
     a = [rng.uniform(-angle_range, angle_range) for _ in range(3)]
     # transforms3d euler2mat(a1,a2,a3) default 'sxyz' == scipy extrinsic xyz
     aug_r = Rotation.from_euler("xyz", a).as_matrix().astype(np.float32)
     cloud_obj = (cloud - target_t) @ target_r  # canonicalize
     target_t = target_t + np.array(
-        [py_random.uniform(-trans_range, trans_range) for _ in range(3)],
+        [trans_rng.uniform(-trans_range, trans_range) for _ in range(3)],
         np.float32,
     )
     target_r = (target_r @ aug_r).astype(np.float32)

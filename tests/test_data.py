@@ -126,7 +126,8 @@ class _RngProbeDataset:
         return 8
 
     def __getitem__(self, i):
-        return {"draw": np.float64(np.random.randint(1 << 62))}
+        # int64 straight through (a float64 cast would mangle >2**53 draws)
+        return {"draw": np.int64(np.random.randint(1 << 62))}
 
 
 def test_process_workers_have_distinct_rng_streams():
@@ -141,7 +142,7 @@ def test_process_workers_have_distinct_rng_streams():
         rows = pool.map(None, range(8))
     finally:
         pool.close()
-    draws = [float(r["draw"]) for r in rows]
+    draws = [int(r["draw"]) for r in rows]
     assert len(set(draws)) == len(draws), draws
 
 

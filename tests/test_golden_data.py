@@ -367,21 +367,29 @@ def _assert_vidx_close(ref_vidx, our_vidx, msg):
 # ---------------------------------------------------------------- LineMOD
 
 
+def _make_lm_ref(rel_path, mod_name, patch_yaml=True):
+    """Shared LM/LMO reference-module setup: data stubs, import, cv2 shim,
+    (optionally) a safe_load yaml shim, fresh mesh-sampling RNG. Returns
+    (ref_mod, cfg)."""
+    _install_data_stubs()
+    ref_mod = _import_ref(rel_path, mod_name)
+    if patch_yaml:
+        import yaml as _yaml
+
+        ref_mod.yaml = types.SimpleNamespace(
+            load=lambda f, **kw: _yaml.safe_load(f)
+        )
+    ref_mod.cv2 = _CV2Shim()
+    _MESH_RNG["rng"] = np.random.RandomState(0)
+    return ref_mod, _cfg(unit=0.005)
+
+
 @pytest.fixture(scope="module")
 def lm_pair(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("golden_lm"))
     lm_root = fixtures.make_linemod_fixture(tmp)
 
-    _install_data_stubs()
-    ref_mod = _import_ref("LM/dataloader_test_LM.py", "ref_dl_test_lm")
-    import yaml as _yaml
-
-    ref_mod.yaml = types.SimpleNamespace(
-        load=lambda f, **kw: _yaml.safe_load(f)
-    )
-    ref_mod.cv2 = _CV2Shim()
-    cfg = _cfg(unit=0.005)
-    _MESH_RNG["rng"] = np.random.RandomState(0)
+    ref_mod, cfg = _make_lm_ref("LM/dataloader_test_LM.py", "ref_dl_test_lm")
     ref_ds = ref_mod.Dataset("eval", cfg, root=lm_root)
 
     from dcl_net_tpu.data.linemod import LineMODDataset
@@ -451,11 +459,9 @@ def lmo_pair(tmp_path_factory):
     os.symlink(lm_root, os.path.join(sandbox, "datasets", "Linemod_preprocessed"))
     os.symlink(masks_root, os.path.join(sandbox, "datasets", "LMO_Masks"))
 
-    _install_data_stubs()
-    ref_mod = _import_ref("LM/dataloader_test_LMO.py", "ref_dl_test_lmo")
-    ref_mod.cv2 = _CV2Shim()
-    cfg = _cfg(unit=0.005)
-    _MESH_RNG["rng"] = np.random.RandomState(0)
+    ref_mod, cfg = _make_lm_ref(
+        "LM/dataloader_test_LMO.py", "ref_dl_test_lmo", patch_yaml=False
+    )
     cwd = _chdir(sandbox)
     try:
         ref_ds = ref_mod.Dataset("eval", cfg, root=lmo_root)
@@ -480,16 +486,7 @@ def lm_train_pair(tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("golden_lm_train"))
     lm_root = fixtures.make_linemod_fixture(tmp)
 
-    _install_data_stubs()
-    ref_mod = _import_ref("LM/dataloader_train_LM.py", "ref_dl_train_lm")
-    import yaml as _yaml
-
-    ref_mod.yaml = types.SimpleNamespace(
-        load=lambda f, **kw: _yaml.safe_load(f)
-    )
-    ref_mod.cv2 = _CV2Shim()
-    cfg = _cfg(unit=0.005)
-    _MESH_RNG["rng"] = np.random.RandomState(0)
+    ref_mod, cfg = _make_lm_ref("LM/dataloader_train_LM.py", "ref_dl_train_lm")
     ref_ds = ref_mod.Dataset("train", cfg, root=lm_root)
 
     from dcl_net_tpu.data.linemod import LineMODDataset
