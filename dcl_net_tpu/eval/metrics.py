@@ -80,7 +80,10 @@ def auc_and_acc(
     d[d > max_dis] = np.inf
     d = np.sort(d)
     n = d.size
-    acc = np.cumsum(np.ones(n)) / n
+    # float32 cumulative curve, matching the reference bit for bit
+    # (tools/test_YCBV_stage1.py:107 builds acc with dtype=np.float32;
+    # tests/test_golden_metrics.py pins the parity)
+    acc = np.cumsum(np.ones(n, dtype=np.float32)) / n
     aps = voc_ap(d, acc)
     acc_t = float((d < acc_threshold).sum() / n)
     return aps * 100.0, acc_t * 100.0

@@ -64,6 +64,10 @@ def main():
         print(f"raw __getitem__: {raw_dt*1e3:.1f} ms/sample "
               f"({1/raw_dt:.1f} samples/s single-core)")
 
+        if len(ds) < args.batch:
+            print(f"WARNING: len(dataset)={len(ds)} < batch={args.batch}; "
+                  "drop_last yields zero batches — lower --batch or raise "
+                  "--frames")
         for worker_type in ("thread", "process"):
             loader = BatchLoader(
                 ds, batch_size=args.batch, num_workers=args.workers,
@@ -83,8 +87,36 @@ def main():
             print(f"BatchLoader[{worker_type} x{args.workers}]: "
                   f"{rate:.1f} samples/s ({n} samples/epoch, best {best:.2f}s)")
 
-    print(f"device rate to beat: 244 samples/s (B=128, BENCH_r02); "
-          f"cores here: {os.cpu_count()}")
+        # ---- eval side: YCBVTestDataset frame decode (color/depth/label
+        # PNG + meta.mat + FFB6D mask .mat per frame) through the
+        # prefetching EvalFrameLoader — the decode rate the bs=512 product
+        # eval path (tools/test_ycbv_stage1.py) must be fed at
+        from dcl_net_tpu.data.loader import EvalFrameLoader
+        from dcl_net_tpu.data.ycbv import YCBVTestDataset
+
+        eds = YCBVTestDataset(cfg, root, assets_dir=assets)
+        for worker_type in ("thread", "process"):
+            loader = EvalFrameLoader(
+                eds, batch_size=args.batch, num_workers=args.workers,
+                worker_type=worker_type,
+            )
+            best, n_inst, n_rows = None, 0, 0
+            for it in range(args.iters + 1):
+                t0 = time.perf_counter()
+                n_inst = n_rows = 0
+                for batch in loader:
+                    n_rows += batch["valid"].shape[0]
+                    n_inst += int(batch["valid"].sum())
+                dt = time.perf_counter() - t0
+                if it > 0:
+                    best = dt if best is None else min(best, dt)
+            loader.close()
+            print(f"EvalFrameLoader[{worker_type} x{args.workers}]: "
+                  f"{n_inst / best:.1f} decoded inst/s over {len(eds)} frames "
+                  f"({n_inst} valid of {n_rows} rows, best {best:.2f}s)")
+
+    print(f"device rates to beat: train 244 samples/s (B=128, BENCH_r02), "
+          f"eval ~1500 inst/s (B=512); cores here: {os.cpu_count()}")
 
 
 if __name__ == "__main__":
