@@ -365,7 +365,9 @@ class LineMODDataset(_LMBase):
         target_t = target_t - centroid.astype(np.float32)
 
         if self.mode == "train":
-            cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, rng)
+            cloud, target_r, target_t = pp.se3_augment(
+                cloud, target_r, target_t, rng, trans_rng=random
+            )
 
         # module rng straight through: same draw sequence as the reference
         # loader (LM/dataloader_test_LM.py aug + np.random.choice resample),

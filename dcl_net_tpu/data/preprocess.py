@@ -112,7 +112,8 @@ def se3_augment(
     rng: np.random.RandomState,
     angle_range: float = np.pi / 36.0,
     trans_range: float = 0.03,
-    trans_rng=None,
+    *,
+    trans_rng,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """SE(3) training augmentation (reference YCBV/dataloader_train_YCBV.py:
     161-177): rotate the object frame by a random +-5deg euler rotation and
@@ -121,16 +122,14 @@ def se3_augment(
 
     Draw-for-draw identical to the reference: three separate angle draws
     from `rng` (the reference's np.random.uniform calls), then three
-    `trans_rng.uniform` translation jitters. `trans_rng` defaults to the
-    process-global PYTHON `random` module — the reference uses it there —
-    so same-seed samples are bit-comparable (tests/test_golden_data.py);
-    callers needing self-contained determinism pass a `random.Random`
-    instance explicitly. Worker processes get distinct seeds for both RNG
-    streams (data/loader.py:_init_worker)."""
+    `trans_rng.uniform` translation jitters. `trans_rng` is REQUIRED and
+    keyword-only because the two streams intentionally differ: the
+    reference draws translations from the process-global PYTHON `random`
+    module, so the datasets pass that module (bit-comparable same-seed
+    samples, tests/test_golden_data.py); callers needing self-contained
+    determinism pass a `random.Random` instance instead. Worker processes
+    get distinct seeds for both streams (data/loader.py:_init_worker)."""
     from scipy.spatial.transform import Rotation
-
-    if trans_rng is None:
-        import random as trans_rng
 
     a = [rng.uniform(-angle_range, angle_range) for _ in range(3)]
     # transforms3d euler2mat(a1,a2,a3) default 'sxyz' == scipy extrinsic xyz

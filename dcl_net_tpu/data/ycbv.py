@@ -17,6 +17,7 @@ voxelization happens in-graph (no CPU hash map in collate).
 from __future__ import annotations
 
 import os
+import random
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -189,7 +190,9 @@ class YCBVTrainDataset:
         # 3 angle uniforms, 3 python-random translation uniforms, resample
         # choice) matches the reference loader call for call, so same-seed
         # samples are bit-comparable (tests/test_golden_data.py)
-        cloud, target_r, target_t = pp.se3_augment(cloud, target_r, target_t, rng)
+        cloud, target_r, target_t = pp.se3_augment(
+            cloud, target_r, target_t, rng, trans_rng=random
+        )
 
         res = pp.filter_and_resample(cloud, rgb, self.total, self.n_inp, rng,
                                      self.min_pt)

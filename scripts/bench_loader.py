@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2, help="epochs per config")
     ap.add_argument("--workers", type=int, default=max(os.cpu_count(), 1))
     args = ap.parse_args()
+    # at least one timed epoch: rates divide by the best timed epoch
+    args.iters = max(1, args.iters)
 
     from dcl_net_tpu.config import Config
     from dcl_net_tpu.data.loader import BatchLoader

@@ -66,7 +66,16 @@ def main():
         f_fwd = jax.jit(loss_fwd)
         t_fwd = timeit(f_fwd, state.params, state.batch_stats, batch)
 
-        f_vg = jax.jit(lambda p, s, bb: jax.value_and_grad(loss_fwd)(p, s, bb)[0])
+        def _vg(p, s, bb):
+            v, g = jax.value_and_grad(loss_fwd)(p, s, bb)
+            # fold a grad reduction into the fetched scalar: returning only
+            # the value lets XLA dead-code-eliminate the whole backward
+            # (measured: "fwd+bwd" == fwd exactly without this)
+            import optax as _optax
+
+            return v + 0.0 * _optax.global_norm(g)
+
+        f_vg = jax.jit(_vg)
         t_vg = timeit(f_vg, state.params, state.batch_stats, batch)
 
         step = jax.jit(make_train_step(model, tx, dcl_losses))

@@ -75,12 +75,18 @@ def make_ycbv_fixture(tmpdir: str, n_classes: int = 3, n_frames: int = 2,
         cols = rng.randint(0, 255, (3000, 3))
         _write_ply_ascii(os.path.join(cad_dir, name + "_pc.ply"), pts, cols)
 
-    cam = dict(cx=312.9869, cy=241.3109, fx=1066.778, fy=1067.487)
+    # per-video intrinsics: videos >= 60 use the second camera (reference
+    # YCBV/dataloader_train_YCBV.py:83-91) — render 0060 frames with CAM_2
+    # so the depth geometry is consistent with the GT poses under the
+    # loaders' own lift
+    cam_1 = dict(cx=312.9869, cy=241.3109, fx=1066.778, fy=1067.487)
+    cam_2 = dict(cx=323.7872, cy=279.6921, fx=1077.836, fy=1078.189)
     frames = []
     for vid in video_ids:
         for fi in range(n_frames):
             frames.append(f"data/{vid}/{fi + 1:06d}")
     for frame in frames:
+        cam = cam_2 if int(frame.split("/")[1]) >= 60 else cam_1
         img = rng.randint(0, 255, (480, 640, 3), np.uint8)
         depth = np.zeros((480, 640), np.uint16)
         label = np.zeros((480, 640), np.uint8)

@@ -118,23 +118,72 @@ def test_process_worker_loader_matches_thread(ycbv_dirs):
                 np.asarray(batch["tmp"]["feats"][i]), bank["feats"][c])
 
 
+class _FakeSeedCounter:
+    """In-process stand-in for the forkserver ctx.Value worker-id counter."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def get_lock(self):
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+def test_worker_seeding_is_distinct_and_deterministic():
+    """loader._init_worker must give worker k a deterministic np.random /
+    random stream that differs across worker ids and across base seeds
+    (forkserver workers otherwise all inherit the server process's state —
+    the classic numpy+fork bug torch's DataLoader seeds around)."""
+    import random
+
+    from dcl_net_tpu.data import loader
+
+    def stream(base_seed, worker_id):
+        loader._init_worker(None, _FakeSeedCounter(worker_id), base_seed)
+        return (
+            tuple(np.random.randint(1 << 62) for _ in range(3)),
+            tuple(random.random() for _ in range(3)),
+        )
+
+    np_state, py_state = np.random.get_state(), random.getstate()
+    try:
+        s00, s01 = stream(0, 0), stream(0, 1)
+        assert s00 != s01  # distinct streams per worker
+        assert stream(0, 0) == s00  # deterministic per (base_seed, id)
+        assert stream(1, 0) != s00  # base seed matters
+        # SeedSequence spread: adjacent base seeds must NOT alias worker
+        # streams (base 0 worker 1 != base 1 worker 0)
+        assert stream(1, 0) != s01
+    finally:
+        np.random.set_state(np_state)
+        random.setstate(py_state)
+
+
 class _RngProbeDataset:
-    """Each fetch returns the worker's next np.random draw — exposes
-    whether worker processes share an RNG stream."""
+    """Each fetch returns (pid, next np.random draw); the sleep gives the
+    pool time to involve more than one worker."""
 
     def __len__(self):
         return 8
 
     def __getitem__(self, i):
+        import os
+        import time
+
+        time.sleep(0.15)
         # int64 straight through (a float64 cast would mangle >2**53 draws)
-        return {"draw": np.int64(np.random.randint(1 << 62))}
+        return {"pid": np.int64(os.getpid()),
+                "draw": np.int64(np.random.randint(1 << 62))}
 
 
 def test_process_workers_have_distinct_rng_streams():
-    """Forkserver workers all inherit the server's np.random state; without
-    per-worker seeding (loader._init_worker) every worker would draw the
-    SAME augmentation sequence (the classic numpy+fork bug torch's
-    DataLoader seeds around). 8 draws across 2 workers must be unique."""
+    """End-to-end pool check: draws from DIFFERENT worker processes must
+    differ (unique overall). Guarded against the vacuous pass where one
+    fast-spawning worker drains every chunk — then the test skips rather
+    than asserting nothing."""
+    import pytest as _pytest
+
     from dcl_net_tpu.data.loader import _ProcessPool
 
     pool = _ProcessPool(2, _RngProbeDataset(), base_seed=123)
@@ -142,6 +191,10 @@ def test_process_workers_have_distinct_rng_streams():
         rows = pool.map(None, range(8))
     finally:
         pool.close()
+    pids = {int(r["pid"]) for r in rows}
+    if len(pids) < 2:
+        _pytest.skip("one worker drained all chunks; cross-worker streams "
+                     "not observable this run (seed logic unit-tested above)")
     draws = [int(r["draw"]) for r in rows]
     assert len(set(draws)) == len(draws), draws
 

@@ -17,19 +17,13 @@ Known deliberate divergences (outside the protocol's reachable inputs):
   returns 0.0. Real eval always has >=1 sample per class.
 """
 
-import importlib.util
-import os
-import sys
-import types
-
 import numpy as np
 import pytest
 
 pytest.importorskip("torch")
 
 from dcl_net_tpu.eval.metrics import auc_and_acc, per_class_auc_acc, voc_ap
-
-REF_ROOT = "/root/reference"
+from tests.ref_tools import import_ref_tool
 
 
 class _SilentLogger:
@@ -39,36 +33,7 @@ class _SilentLogger:
 
 @pytest.fixture(scope="module")
 def ref_tool():
-    if not os.path.isdir(REF_ROOT):
-        pytest.skip("reference checkout not available")
-
-    def module(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        m.__path__ = []
-        sys.modules[name] = m
-        return m
-
-    for name in ("open3d", "gorilla", "tqdm"):
-        if name not in sys.modules:
-            module(name)
-    if "tensorboardX" not in sys.modules:
-        class _NoWriter:
-            def __init__(self, *a, **kw):
-                pass
-
-        module("tensorboardX", SummaryWriter=_NoWriter)
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-
-    spec = importlib.util.spec_from_file_location(
-        "ref_test_ycbv_stage1", os.path.join(REF_ROOT, "tools/test_YCBV_stage1.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_test_ycbv_stage1"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    return import_ref_tool("tools/test_YCBV_stage1.py", "ref_test_ycbv_stage1")
 
 
 def _protocol_distances(rng, n, lost_frac=0.1):

@@ -9,11 +9,6 @@
   torch itself is the golden side here.
 """
 
-import importlib.util
-import os
-import sys
-import types
-
 import numpy as np
 import pytest
 
@@ -22,47 +17,12 @@ torch = pytest.importorskip("torch")
 import jax.numpy as jnp  # noqa: E402
 
 from dcl_net_tpu.train.solver import autoclip, cyclic_lr, step_lr  # noqa: E402
-
-REF_ROOT = "/root/reference"
+from tests.ref_tools import import_ref_tool  # noqa: E402
 
 
 @pytest.fixture(scope="module")
 def ref_train_tool():
-    if not os.path.isdir(REF_ROOT):
-        pytest.skip("reference checkout not available")
-
-    def module(name, **attrs):
-        m = types.ModuleType(name)
-        for k, v in attrs.items():
-            setattr(m, k, v)
-        m.__path__ = []
-        sys.modules[name] = m
-        return m
-
-    for name in ("open3d", "tqdm"):
-        if name not in sys.modules:
-            module(name)
-    # the module defines `class Trainer(gorilla.solver.BaseSolver)` at
-    # import time; give the stub a real base class
-    g = sys.modules.get("gorilla") or module("gorilla")
-    if not hasattr(g, "solver"):
-        g.solver = types.SimpleNamespace(BaseSolver=object)
-    if "tensorboardX" not in sys.modules:
-        class _NoWriter:
-            def __init__(self, *a, **kw):
-                pass
-
-        module("tensorboardX", SummaryWriter=_NoWriter)
-    if REF_ROOT not in sys.path:
-        sys.path.insert(0, REF_ROOT)
-
-    spec = importlib.util.spec_from_file_location(
-        "ref_train_ycbv_stage1", os.path.join(REF_ROOT, "tools/train_YCBV_stage1.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["ref_train_ycbv_stage1"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+    return import_ref_tool("tools/train_YCBV_stage1.py", "ref_train_ycbv_stage1")
 
 
 def test_autoclip_matches_reference_code(ref_train_tool):
