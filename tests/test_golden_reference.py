@@ -325,6 +325,93 @@ def test_loss_stack_matches_reference_code(setup, refmods):
         )
 
 
+@pytest.mark.slow
+def test_loss_gradients_match_reference_code(setup, refmods):
+    """GRADIENT golden parity: d(loss_all)/d(post-backbone params) via torch
+    autograd through the reference's own composed modules + `losses` class
+    vs jax.grad through our model + loss stack, on identical converted
+    weights and identical encoder features (held constant on both sides).
+    With the optimizer separately golden-matched (tests/test_golden_train),
+    matching gradients pin the training DYNAMICS, not just the forward.
+
+    Torch grads are transported to flax layout by running the same
+    state-dict converter on the grad tensors — valid because the converter
+    is pure transpose/reshape, which commutes with differentiation."""
+    tmodel, model, variables, batch = setup
+    _, ref_dcl, _ = refmods
+
+    # ---- our side: grad w.r.t. ALL params (encoder grads unused below)
+    stats = variables["batch_stats"]
+
+    def loss_fn(p):
+        pred = model.apply({"params": p, "batch_stats": stats}, batch,
+                           train=False)
+        return dcl_losses(pred, batch)["loss_all"]
+
+    g_ours = jax.grad(loss_fn)(variables["params"])
+
+    # ---- reference side: same features in, torch autograd out
+    def _get_feats(mdl, b):
+        return (
+            mdl._encode(mdl.backbone_inp, mdl.point_feats_inp,
+                        b["inp"]["feats"], b["inp"]["voxel_idx"], False)[1],
+            mdl._encode(mdl.backbone_tmp, mdl.point_feats_tmp,
+                        b["tmp"]["feats"], b["tmp"]["voxel_idx"], False)[1],
+        )
+
+    fx, fy = model.apply(variables, batch, method=_get_feats)
+    ours_pred = model.apply(variables, batch, train=False)
+    tmodel.zero_grad()
+    ref = tmodel(
+        torch.tensor(np.asarray(fx)).permute(0, 2, 1).contiguous(),
+        torch.tensor(np.asarray(fy)).permute(0, 2, 1).contiguous(),
+    )
+    t = lambda x: torch.tensor(np.asarray(x))
+    ref_losses = ref_dcl.losses(cfg=None)(
+        {
+            "rot_pred": ref["rot_pred"], "trans_pred": ref["trans_pred"],
+            "sym_flag": t(batch["sym_flag"]), "conf": ref["conf"],
+            "Xo_pred": ref["Xo_pred"], "Yc_pred": ref["Yc_pred"],
+        },
+        {
+            "rot_gt": t(batch["labels"]["rot_gt"]),
+            "trans_gt": t(batch["labels"]["trans_gt"]),
+            "points_tmp": t(ours_pred["points_tmp"]),
+            "points_inp": t(ours_pred["points_inp"]),
+        },
+    )
+    ref_losses["loss_all"].backward()
+
+    sd = tmodel.state_dict()
+    grad_sd = {}
+    for k, v in sd.items():
+        if "num_batches" in k:
+            continue
+        grad_sd[k] = v.numpy()  # BN running stats: placeholder, ignored
+    for name, p in tmodel.named_parameters():
+        grad_sd[name] = (
+            p.grad.detach().numpy() if p.grad is not None
+            else np.zeros_like(p.detach().numpy())
+        )
+    g_ref = convert_reference_state_dict(grad_sd)["params"]
+
+    # compare every converted (post-backbone) grad leaf
+    flat_ours = jax.tree_util.tree_flatten_with_path(g_ours)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(g_ref)[0])
+    compared = 0
+    for path, leaf in flat_ours:
+        if path not in flat_ref:
+            continue  # encoder/backbone param: frozen constant on torch side
+        ours_np, ref_np = np.asarray(leaf), np.asarray(flat_ref[path])
+        scale = max(float(np.abs(ref_np).max()), 1e-8)
+        np.testing.assert_allclose(
+            ours_np, ref_np, rtol=0, atol=1e-3 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        compared += 1
+    assert compared >= 50, compared  # every post-backbone kernel/scale/bias
+
+
 def test_refiner_matches_reference_code(refmods):
     """Our Refiner vs the reference's own Refiner (models/refiner.py:57-95)
     on identical inputs and converted weights. n=1024 because the reference
