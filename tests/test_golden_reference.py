@@ -488,6 +488,89 @@ def test_refiner_losses_match_reference_code(refmods):
         float(ours["loss_all"]), float(ref["loss_all"]), rtol=1e-5, atol=1e-7)
 
 
+def test_refiner_gradients_match_reference_code(refmods):
+    """Stage-2 GRADIENT parity: d(loss_all)/d(refiner params) through the
+    reference's own Refiner + losses_refiner (torch autograd, incl. the
+    SVD in ortho9d2matrix) vs jax.grad through ours, on converted weights.
+    Same grad-transport trick as the stage-1 test: the converter is pure
+    transpose/reshape."""
+    _, _, ref_refiner = refmods
+    rng = np.random.RandomState(13)
+    torch.manual_seed(13)
+    n, b, p = 1024, 2, 64
+
+    tref = ref_refiner.Refiner(cfg=None)
+    tref.eval()
+    sd = {k: v.numpy() for k, v in tref.state_dict().items()}
+    converted = convert_reference_state_dict(sd)
+
+    feats = rng.randn(b, n, 259).astype(np.float32)
+    conf = rng.rand(b, 2 * n).astype(np.float32) * 0.9 + 0.05
+    pts = rng.randn(b, p, 3).astype(np.float32) * 0.05
+
+    def rot(r):
+        q, _ = np.linalg.qr(r.randn(3, 3))
+        if np.linalg.det(q) < 0:
+            q[:, 0] = -q[:, 0]
+        return q.astype(np.float32)
+
+    rot_cur = np.stack([rot(rng) for _ in range(b)])
+    rot_gt = np.stack([rot(rng) for _ in range(b)])
+    trans_cur = rng.randn(b, 3).astype(np.float32) * 0.02
+    trans_gt = rng.randn(b, 3).astype(np.float32) * 0.02
+    sym = np.array([0.0, 1.0], np.float32)
+
+    ours = Refiner(n_inp=n)
+
+    def loss_fn(params):
+        out = ours.apply(
+            {"params": params},
+            {"input_features": jnp.asarray(feats), "conf": jnp.asarray(conf)},
+        )
+        return refiner_losses(
+            out, jnp.asarray(trans_cur), jnp.asarray(rot_cur),
+            jnp.asarray(pts), jnp.asarray(sym), jnp.asarray(rot_gt),
+            jnp.asarray(trans_gt),
+        )["loss_all"]
+
+    g_ours = jax.grad(loss_fn)(converted["params"])
+
+    t = torch.tensor
+    tref.zero_grad()
+    ref_out = tref({
+        "input_features": t(feats).permute(0, 2, 1).contiguous(),
+        "conf": t(conf),
+    })
+    ref_loss = ref_refiner.losses_refiner(cfg=None)(
+        ref_out, t(trans_cur), t(rot_cur), t(pts), t(sym),
+        {"rot_gt": t(rot_gt), "trans_gt": t(trans_gt)},
+    )
+    ref_loss["loss_all"].backward()
+
+    grad_sd = {k: v.numpy() for k, v in tref.state_dict().items()
+               if "num_batches" not in k}
+    for name, prm in tref.named_parameters():
+        grad_sd[name] = (
+            prm.grad.detach().numpy() if prm.grad is not None
+            else np.zeros_like(prm.detach().numpy())
+        )
+    g_ref = convert_reference_state_dict(grad_sd)["params"]
+
+    flat_ours = jax.tree_util.tree_flatten_with_path(g_ours)[0]
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(g_ref)[0])
+    compared = 0
+    for path, leaf in flat_ours:
+        assert path in flat_ref, jax.tree_util.keystr(path)
+        ours_np, ref_np = np.asarray(leaf), np.asarray(flat_ref[path])
+        scale = max(float(np.abs(ref_np).max()), 1e-8)
+        np.testing.assert_allclose(
+            ours_np, ref_np, rtol=0, atol=1e-3 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+        compared += 1
+    assert compared >= 10, compared
+
+
 def test_ortho9d_matches_reference_code(refmods):
     """ortho9d2matrix: our SVD orthogonalization vs the reference's
     (models/DCL_Net.py:15-36) on the same raw 9D inputs."""
