@@ -12,8 +12,9 @@ TPU design: the grid is tiny (64^3) and per-sample point count is static
 (1024), so instead of hash maps + ragged rulebooks we scatter features
 directly into a dense [B, D, D, D, C] grid with ``.at[].add`` on linearized
 voxel ids — one fused XLA scatter, fully differentiable, no host round trip.
-Mode semantics follow voxelize.cpp:51 ("0=unique 1=first 2=last 3=sum 4=mean";
-DCL-Net uses mode 4).
+Mode semantics follow voxelize.cpp:119-138 (0=unique 1=first 2=last 3=sum
+4=mean; the file's :51 comment swaps 1/2 vs its own code — see
+tests/test_golden_voxelize.py; DCL-Net uses mode 4).
 """
 
 from __future__ import annotations
@@ -22,11 +23,14 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-# reference voxelize.cpp:51: "0=guaranteed unique 1=last item(overwrite)
-# 2=first item(keep) 3=sum, 4=mean"
+# Reference mode table. NOTE: the reference's comment (voxelize.cpp:51
+# "1=last item(overwrite) 2=first item(keep)") CONTRADICTS its code — mode 1
+# takes outputRows.front() (the FIRST point seen, voxelize.cpp:129) and mode
+# 2 takes .back() (the LAST, :135). The compiled code is the ground truth
+# (tests/test_golden_voxelize.py runs it), so: 1=first, 2=last.
 MODE_UNIQUE = 0
-MODE_LAST = 1
-MODE_FIRST = 2
+MODE_FIRST = 1
+MODE_LAST = 2
 MODE_SUM = 3
 MODE_MEAN = 4
 
@@ -68,8 +72,9 @@ def voxelize_dense(
       feats: [B, N, C] per-point features.
       voxel_idx: [B, N, 3] int voxel indices (must lie inside the grid).
       grid_size: static (Dz, Dy, Dx) == voxel_num_limit.
-      mode: 0=unique, 1=last, 2=first, 3=sum, 4=mean — full parity with
-        reference voxelize.cpp:51 (DCL-Net uses mean, cfg.voxelization_mode=4).
+      mode: 0=unique, 1=first, 2=last, 3=sum, 4=mean — full parity with the
+        reference's compiled behavior, voxelize.cpp:119-138 (its :51 comment
+        swaps 1/2; DCL-Net uses mean, cfg.voxelization_mode=4).
       point_mask: optional [B, N] bool; False points are ignored.
 
     Returns:

@@ -507,8 +507,10 @@ def test_pallas_interp_mode_grad_matches_exact_end_to_end(rng):
 
 
 def test_voxelize_modes_first_last_unique_oracle(rng):
-    """Modes 0/1/2 (unique / last-overwrite / first-keep) vs a numpy oracle —
-    full surface parity with reference voxelize.cpp:51,119-138."""
+    """Modes 0/1/2 (unique / first-keep / last-overwrite) vs a numpy oracle —
+    full surface parity with reference voxelize.cpp:119-138 (the reference's
+    :51 comment swaps 1/2 vs its own code; tests/test_golden_voxelize.py pins
+    these modes against the compiled reference code itself)."""
     b, n, c, d = 2, 32, 4, 4
     feats = rng.randn(b, n, c).astype(np.float32)
     vidx = rng.randint(0, d, size=(b, n, 3))
@@ -517,7 +519,7 @@ def test_voxelize_modes_first_last_unique_oracle(rng):
     def oracle(mode):
         grid = np.zeros((b, d, d, d, c), np.float32)
         seen = np.zeros((b, d, d, d), bool)
-        order = range(n) if mode == 2 else range(n - 1, -1, -1)  # first/last
+        order = range(n) if mode == 1 else range(n - 1, -1, -1)  # first/last
         for bi in range(b):
             for pi in order:
                 if not mask[bi, pi]:
