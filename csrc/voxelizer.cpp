@@ -82,7 +82,8 @@ int voxelize_idx(const int64_t* coords, int n, int32_t* input_map,
 // Scatter point features into voxel slots.
 //   feats: [n, c] float32; input_map: [n] int32 (from voxelize_idx)
 //   out:   [m, c] float32 (zero-initialized by caller)
-//   mode: 3 = sum, 4 = mean (reference voxelize.cpp:51 mode table)
+//   mode: 3 = sum, 4 = mean (reference voxelize.cpp:119-152; NOTE its :51
+//   comment swaps modes 1/2 vs the code — see tests/test_golden_voxelize.py)
 void voxelize_feats(const float* feats, const int32_t* input_map, int n, int c,
                     float* out, const int32_t* counts, int m, int mode) {
   for (int i = 0; i < n; ++i) {

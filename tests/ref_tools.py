@@ -60,3 +60,30 @@ def import_ref_tool(relpath, name):
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def compile_reference_driver(tmp_path_factory, driver_cc, include_dirs, name):
+    """Compile a tests/golden_cpp driver against the reference's own C++
+    sources into a ctypes CDLL; skips when the checkout or g++ is absent.
+
+    One shared implementation so compile flags / stub include paths cannot
+    silently diverge between the rulebook and voxelize fixtures.
+    """
+    import ctypes
+    import shutil
+    import subprocess
+
+    for d in include_dirs:
+        if not os.path.isdir(str(d)):
+            pytest.skip(f"{d} not available")
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    so = tmp_path_factory.mktemp(name) / f"{name}.so"
+    stubs = os.path.join(os.path.dirname(__file__), "golden_cpp", "stubs")
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++14"]
+    cmd += [f"-I{d}" for d in list(include_dirs) + [stubs]]
+    cmd += [str(driver_cc), "-o", str(so)]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.fail(f"reference {name} build failed:\n{proc.stderr}")
+    return ctypes.CDLL(str(so))

@@ -28,17 +28,15 @@ comparison depends on a transcription.
 from __future__ import annotations
 
 import ctypes
-import shutil
-import subprocess
 from pathlib import Path
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 
 from dcl_net_tpu.models.blocks import SparseConvBlock
 from dcl_net_tpu.ops.sparse_conv import dilate_mask, sparse_avg_pool, sparse_max_pool
+from tests.ref_tools import compile_reference_driver
 
 REF_INCLUDE = Path("/root/reference/libs/spconv/include")
 SRC_DIR = Path(__file__).parent / "golden_cpp"
@@ -46,20 +44,9 @@ SRC_DIR = Path(__file__).parent / "golden_cpp"
 
 @pytest.fixture(scope="session")
 def rulebook_lib(tmp_path_factory):
-    if not REF_INCLUDE.exists():
-        pytest.skip("/root/reference spconv headers not available")
-    if shutil.which("g++") is None:
-        pytest.skip("g++ not available")
-    so = tmp_path_factory.mktemp("ref_rulebook") / "ref_rulebook.so"
-    cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++14",
-        f"-I{REF_INCLUDE}", f"-I{SRC_DIR / 'stubs'}",
-        str(SRC_DIR / "ref_rulebook.cc"), "-o", str(so),
-    ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        pytest.fail(f"reference rulebook build failed:\n{proc.stderr}")
-    lib = ctypes.CDLL(str(so))
+    lib = compile_reference_driver(
+        tmp_path_factory, SRC_DIR / "ref_rulebook.cc", [REF_INCLUDE],
+        "ref_rulebook")
     lib.ref_get_indice_pairs.restype = ctypes.c_int
     return lib
 
@@ -158,8 +145,6 @@ def run_block(grid, mask, weight, subm):
     """Our production conv op: SparseConvBlock without norm/activation."""
     blk = SparseConvBlock(features=weight.shape[-1], kernel_size=weight.shape[0],
                           subm=subm, norm=False, act="none")
-    variables = blk.init(jax.random.PRNGKey(0), jnp.asarray(grid),
-                         jnp.asarray(mask), False)
     variables = {"params": {"kernel": jnp.asarray(weight)}}
     out, new_mask = blk.apply(variables, jnp.asarray(grid), jnp.asarray(mask), False)
     return np.asarray(out), np.asarray(new_mask)
@@ -219,7 +204,7 @@ def test_regular_conv_matches_reference_rulebook(rulebook_lib, rng):
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-4)
 
 
-def _pool_ref(rulebook_lib, rows, mask, d, batch, kernel, stride, padding):
+def _pool_ref(rulebook_lib, rows, d, batch, kernel, stride, padding):
     out_d = (d + 2 * padding - kernel) // stride + 1
     num_act, iout, pairs, num = ref_pairs(
         rulebook_lib, rows, [out_d] * 3, [kernel] * 3, [stride] * 3,
@@ -231,7 +216,7 @@ def test_avg_pool_matches_reference_rulebook(rulebook_lib, rng):
     d, c, batch, kernel, stride, padding = 10, 5, 2, 3, 2, 1
     grid, mask, rows = random_sparse_grid(rng, batch, d, c, 60)
     out_d, num_act, iout, pairs, num = _pool_ref(
-        rulebook_lib, rows, mask, d, batch, kernel, stride, padding)
+        rulebook_lib, rows, d, batch, kernel, stride, padding)
 
     in_feats = grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]]
     sums = np.zeros((num_act, c), np.float64)
@@ -261,7 +246,7 @@ def test_max_pool_matches_reference_rulebook(rulebook_lib, rng):
     d, c, batch, kernel, stride, padding = 10, 4, 2, 3, 2, 1
     grid, mask, rows = random_sparse_grid(rng, batch, d, c, 60)
     out_d, num_act, iout, pairs, num = _pool_ref(
-        rulebook_lib, rows, mask, d, batch, kernel, stride, padding)
+        rulebook_lib, rows, d, batch, kernel, stride, padding)
 
     in_feats = grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]]
     ref_max = np.full((num_act, c), -np.inf)
@@ -287,7 +272,7 @@ def test_backbone_pool_chain_masks_match_reference(rulebook_lib, rng):
     cur_mask = jnp.asarray(mask)
     for _ in range(3):
         out_d, num_act, iout, _, _ = _pool_ref(
-            rulebook_lib, cur_rows, None, cur_d, batch, 3, 2, 1)
+            rulebook_lib, cur_rows, cur_d, batch, 3, 2, 1)
         feats = jnp.zeros((batch, cur_d, cur_d, cur_d, 1))
         _, cur_mask = sparse_avg_pool(feats, cur_mask, 3, 2, 1)
         ref_sites = {tuple(r) for r in iout[:num_act]}

@@ -20,8 +20,6 @@ takes outputRows.front() at :129, mode 2 takes .back() at :135). Our modes
 from __future__ import annotations
 
 import ctypes
-import shutil
-import subprocess
 from pathlib import Path
 
 import numpy as np
@@ -30,6 +28,7 @@ import pytest
 
 from dcl_net_tpu.ops import cpu_voxelizer
 from dcl_net_tpu.ops.voxelize import voxelize_dense
+from tests.ref_tools import compile_reference_driver
 
 REF_SRC = Path("/root/reference/libs/pointgroup_ops/src")
 SRC_DIR = Path(__file__).parent / "golden_cpp"
@@ -37,20 +36,9 @@ SRC_DIR = Path(__file__).parent / "golden_cpp"
 
 @pytest.fixture(scope="session")
 def voxelize_lib(tmp_path_factory):
-    if not REF_SRC.exists():
-        pytest.skip("/root/reference pointgroup_ops sources not available")
-    if shutil.which("g++") is None:
-        pytest.skip("g++ not available")
-    so = tmp_path_factory.mktemp("ref_voxelize") / "ref_voxelize.so"
-    cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++14",
-        f"-I{REF_SRC}", f"-I{SRC_DIR / 'stubs'}",
-        str(SRC_DIR / "ref_voxelize.cc"), "-o", str(so),
-    ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        pytest.fail(f"reference voxelize build failed:\n{proc.stderr}")
-    lib = ctypes.CDLL(str(so))
+    lib = compile_reference_driver(
+        tmp_path_factory, SRC_DIR / "ref_voxelize.cc", [REF_SRC],
+        "ref_voxelize")
     lib.ref_voxelize_inputmap.restype = ctypes.c_int
     return lib
 
