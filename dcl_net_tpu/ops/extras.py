@@ -87,7 +87,10 @@ def points_to_voxel(
         slot = voxel_map.get(key)
         if slot is None:
             if len(voxel_map) >= max_voxels:
-                continue
+                # the reference BREAKS the whole scan on overflow — later
+                # points stop filling even existing voxels
+                # (point2voxel.h:71-74; pinned by test_golden_point2voxel)
+                break
             slot = len(voxel_map)
             voxel_map[key] = slot
             coords[slot] = idx[::-1]  # zyx like spconv
