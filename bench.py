@@ -93,7 +93,15 @@ def main():
         n_objects=n_classes, n_points=n_points, unit_voxel_extent=unit,
         voxel_num_limit=grid, seed=0,
     )
-    samples = [ds[i] for i in range(max(batch_size, train_batch))]
+    # Materialize a small UNIQUE pool and tile it: every timed loop below
+    # reuses one fixed batch, shapes are static, and per-sample occupancy is
+    # unchanged, so repetition is invisible to the measurements — while 512
+    # full synthetic renders on this single core cost ~10 min of bench wall
+    # time (the driver runs bench under a time budget).
+    n_needed = max(batch_size, train_batch)
+    n_unique = min(int(os.environ.get("BENCH_UNIQUE_SAMPLES", 64)), n_needed)
+    pool = [ds[i] for i in range(n_unique)]
+    samples = [pool[i % n_unique] for i in range(n_needed)]
     # the eval batch must be EXACTLY batch_size rows (samples may hold more
     # when train_batch > batch_size) or inst/s and FLOPs/instance are wrong
     batch = jax.tree.map(jnp.asarray, make_batch(samples[:batch_size]).to_dict())

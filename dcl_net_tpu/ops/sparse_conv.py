@@ -141,6 +141,59 @@ def sparse_max_pool(
     return jnp.where(new_mask[..., None] > 0, pooled, 0.0), new_mask
 
 
+def sparse_conv_transpose(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    stride: int = 2,
+    padding: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse transposed conv (spconv SparseConvTranspose3d) on dense masked
+    grids. DCL-Net itself never uses it; shipped for engine-surface parity
+    with the reference's spconv (libs/spconv/spconv/conv.py:249-272, rulebook
+    geometry.h:87-143 getValidOutPosTranspose + :196-245 getIndicePairsDeConv)
+    and golden-matched against that compiled code
+    (tests/test_golden_rulebook.py::test_conv_transpose_matches_reference_rulebook).
+
+    Semantics: each active input p contributes feats[p] @ weight[tap] at every
+    output q = p*stride - padding + tap (per axis); the active output set is
+    the union of contributing positions. Dense equivalent: an lhs-dilated
+    correlation with the kernel flipped, output size (D-1)*stride
+    - 2*padding + k.
+
+    Args:
+      feats: [B, D, D, D, Cin] (zero at inactive voxels); mask: [B, D, D, D].
+      weight: [k, k, k, Cin, Cout] in the same tap layout as the forward
+        convs (correlation order).
+    Returns:
+      (out [B, D', D', D', Cout], new_mask [B, D', D', D']).
+    """
+    k = weight.shape[0]
+    pl = k - 1 - padding
+    if pl < 0:
+        raise NotImplementedError("padding > kernel-1 not supported")
+    m = mask.astype(feats.dtype)
+    x = feats * m[..., None]
+    wf = weight[::-1, ::-1, ::-1]
+    precision = (jax.lax.Precision.HIGHEST
+                 if feats.dtype == jnp.float32 else None)
+
+    def tconv(inp, w, groups=1):
+        return jax.lax.conv_general_dilated(
+            inp, w, (1, 1, 1), [(pl, pl)] * 3,
+            lhs_dilation=(stride, stride, stride),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=groups,
+            precision=precision,
+        )
+
+    out = tconv(x, wf)
+    ones = jnp.ones((k, k, k, 1, 1), feats.dtype)
+    cnt = tconv(m[..., None], ones)[..., 0]
+    new_mask = (cnt > 0).astype(mask.dtype)
+    return out * new_mask[..., None].astype(out.dtype), new_mask
+
+
 def masked_batch_norm_stats(
     feats: jnp.ndarray, mask: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

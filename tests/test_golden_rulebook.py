@@ -35,7 +35,12 @@ import jax.numpy as jnp
 import pytest
 
 from dcl_net_tpu.models.blocks import SparseConvBlock
-from dcl_net_tpu.ops.sparse_conv import dilate_mask, sparse_avg_pool, sparse_max_pool
+from dcl_net_tpu.ops.sparse_conv import (
+    dilate_mask,
+    sparse_avg_pool,
+    sparse_conv_transpose,
+    sparse_max_pool,
+)
 from tests.ref_tools import compile_reference_driver
 
 REF_INCLUDE = Path("/root/reference/libs/spconv/include")
@@ -198,6 +203,60 @@ def test_regular_conv_matches_reference_rulebook(rulebook_lib, rng):
     ref_sites = {tuple(r) for r in iout[:num_act]}
     our_sites = {tuple(r) for r in np.argwhere(np.asarray(
         dilate_mask(jnp.asarray(mask)) > 0))}
+    assert ref_sites == our_sites
+    out_rows = iout[:num_act]
+    got = ours[out_rows[:, 0], out_rows[:, 1], out_rows[:, 2], out_rows[:, 3]]
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-4)
+
+
+def recover_offset_map_transpose(lib, kernel=2, stride=2, padding=0):
+    """Like recover_offset_map but through the DECONV rulebook: each tap of a
+    single input p lands at q = p*stride - padding + tap (geometry.h:87-143)."""
+    d_in = kernel + 3
+    d_out = (d_in - 1) * stride - 2 * padding + kernel
+    p = np.array([2] * 3)
+    idx = np.array([[0, *p]], np.int32)
+    kv = kernel ** 3
+    num_act, iout, pairs, num = ref_pairs(
+        lib, idx, [d_out] * 3, [kernel] * 3, [stride] * 3, [padding] * 3,
+        [1] * 3, DECONV, 1)
+    assert num_act == kv and np.all(num == 1)
+    off_to_tap = np.zeros((kv, 3), np.int64)
+    for off in range(kv):
+        q = iout[pairs[off, 1, 0], 1:4]
+        tap = q - (p * stride - padding)
+        assert np.all(tap >= 0) and np.all(tap < kernel)
+        off_to_tap[off] = tap
+    return off_to_tap
+
+
+@pytest.mark.parametrize("kernel,stride,padding", [(2, 2, 0), (3, 2, 1)])
+def test_conv_transpose_matches_reference_rulebook(rulebook_lib, rng, kernel,
+                                                   stride, padding):
+    """sparse_conv_transpose == the reference's DeConv rulebook + engine
+    gather-GEMM-scatter (spconv SparseConvTranspose3d semantics)."""
+    d, cin, cout, batch = 5, 4, 6, 2
+    d_out = (d - 1) * stride - 2 * padding + kernel
+    grid, mask, rows = random_sparse_grid(rng, batch, d, cin, 20)
+    weight = rng.randn(kernel, kernel, kernel, cin, cout).astype(np.float32)
+    off_to_tap = recover_offset_map_transpose(rulebook_lib, kernel, stride,
+                                              padding)
+
+    num_act, iout, pairs, num = ref_pairs(
+        rulebook_lib, rows, [d_out] * 3, [kernel] * 3, [stride] * 3,
+        [padding] * 3, [1] * 3, DECONV, batch)
+    in_feats = grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]]
+    ref_out = apply_pairs_gemm(pairs, num, in_feats, weight, off_to_tap,
+                               num_act)
+
+    ours, new_mask = sparse_conv_transpose(
+        jnp.asarray(grid), jnp.asarray(mask), jnp.asarray(weight), stride,
+        padding)
+    ours, new_mask = np.asarray(ours), np.asarray(new_mask)
+    assert ours.shape[1:4] == (d_out,) * 3
+
+    ref_sites = {tuple(r) for r in iout[:num_act]}
+    our_sites = {tuple(r) for r in np.argwhere(new_mask > 0)}
     assert ref_sites == our_sites
     out_rows = iout[:num_act]
     got = ours[out_rows[:, 0], out_rows[:, 1], out_rows[:, 2], out_rows[:, 3]]
