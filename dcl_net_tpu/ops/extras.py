@@ -29,27 +29,32 @@ import numpy as np
 def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float,
         pre_max_size: Optional[int] = None, post_max_size: Optional[int] = None
         ) -> np.ndarray:
-    """Axis-aligned NMS over [N, 4] (x1, y1, x2, y2) boxes (host-side numpy,
-    like the reference's non-rotated nms path)."""
+    """Axis-aligned NMS over [N, 4] (x1, y1, x2, y2) boxes (host-side numpy).
+
+    Exact semantics of the reference's non_max_suppression_cpu
+    (libs/spconv/include/spconv/nms.h:30-76, pinned by
+    tests/test_golden_nms.py against the compiled reference code):
+    suppression fires at iou >= threshold (inclusive), areas are unclamped,
+    and zero-overlap pairs never suppress (the w>0/h>0 guard)."""
     order = np.argsort(-scores)
     if pre_max_size is not None:
         order = order[:pre_max_size]
     boxes = boxes[order]
     x1, y1, x2, y2 = boxes.T
-    areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    areas = (x2 - x1) * (y2 - y1)
     keep = []
     suppressed = np.zeros(len(boxes), bool)
     for i in range(len(boxes)):
         if suppressed[i]:
             continue
         keep.append(order[i])
-        xx1 = np.maximum(x1[i], x1[i + 1:])
-        yy1 = np.maximum(y1[i], y1[i + 1:])
-        xx2 = np.minimum(x2[i], x2[i + 1:])
-        yy2 = np.minimum(y2[i], y2[i + 1:])
-        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
-        iou = inter / np.maximum(areas[i] + areas[i + 1:] - inter, 1e-9)
-        suppressed[i + 1:] |= iou > iou_threshold
+        w = np.minimum(x2[i], x2[i + 1:]) - np.maximum(x1[i], x1[i + 1:])
+        h = np.minimum(y2[i], y2[i + 1:]) - np.maximum(y1[i], y1[i + 1:])
+        pos = (w > 0) & (h > 0)
+        inter = np.where(pos, w * h, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = inter / (areas[i] + areas[i + 1:] - inter)
+        suppressed[i + 1:] |= pos & (iou >= iou_threshold)
     keep = np.asarray(keep, np.int64)
     if post_max_size is not None:
         keep = keep[:post_max_size]

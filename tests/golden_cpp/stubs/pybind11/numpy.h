@@ -7,9 +7,15 @@
 #pragma once
 #include <cstddef>
 #include <initializer_list>
+#include <memory>
+#include <vector>
 
 namespace pybind11 {
 namespace literals {}
+
+struct buffer_info {
+  void *ptr;
+};
 
 
 template <class T>
@@ -19,17 +25,42 @@ class array_t {
   long shp[4] = {0, 0, 0, 0};
   long strd[4] = {0, 0, 0, 0};
   int nd = 0;
+  std::shared_ptr<T> buf;  // owning only for shape-ctor allocations
 
   array_t() = default;
   array_t(T *p, std::initializer_list<long> shape) : ptr(p) {
     nd = 0;
     for (long s : shape) shp[nd++] = s;
+    _strides();
+  }
+  // allocating ctor (the reference's zeros/constant helpers,
+  // box_iou.h:29-41); copies alias the buffer like real pybind arrays
+  explicit array_t(const std::vector<long> &shape) {
+    nd = 0;
+    for (long s : shape) shp[nd++] = s;
+    _strides();
+    long n = size();
+    buf = std::shared_ptr<T>(new T[n > 0 ? n : 1],
+                             [](T *p) { delete[] p; });
+    ptr = buf.get();
+  }
+
+  void _strides() {
     long acc = 1;
     for (int i = nd - 1; i >= 0; --i) {
       strd[i] = acc;
       acc *= shp[i];
     }
   }
+  long size() const {
+    long n = 1;
+    for (int i = 0; i < nd; ++i) n *= shp[i];
+    return n;
+  }
+  int ndim() const { return nd; }
+  T *mutable_data() { return ptr; }
+  const T *data() const { return ptr; }
+  buffer_info request() const { return buffer_info{(void *)ptr}; }
 
   template <int N>
   struct accessor {
