@@ -117,16 +117,27 @@ def sparse_avg_pool(
 
 def sparse_max_pool(
     feats: jnp.ndarray, mask: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int | None = None,
+    zero_init: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse max pool over occupied voxels only (ref pool_ops.h:27-139).
+    """Sparse max pool over occupied voxels only (ref pool_ops.h:27-62 +
+    src/spconv/maxpool.cc:20-40).
 
     Unoccupied voxels must not contribute: they are replaced by -inf before
     the window max, and outputs with an empty receptive field are zeroed.
+
+    zero_init=True (default) reproduces the reference EXACTLY: indiceMaxPool
+    initializes its output with torch::zeros and only overwrites when
+    out < in, so all-negative receptive fields CLAMP at 0 (the commented-out
+    "smallest = -1e50" at pool_ops.h:38-39 shows this is shipped behavior;
+    pinned by tests/test_golden_maxpool.py against the compiled reference
+    functors). zero_init=False gives the true max over occupied voxels.
     """
     if padding is None:
         padding = kernel // 2
     m = mask.astype(feats.dtype)
-    neg = jnp.finfo(feats.dtype).min
+    # -inf (not finfo.min): XLA only recognizes the differentiable
+    # select-and-scatter max-pool pattern with a -inf init
+    neg = -jnp.inf
     guarded = jnp.where(m[..., None] > 0, feats, neg)
     pooled = jax.lax.reduce_window(
         guarded,
@@ -136,6 +147,8 @@ def sparse_max_pool(
         window_strides=(1, stride, stride, stride, 1),
         padding=[(0, 0)] + [(padding, padding)] * 3 + [(0, 0)],
     )
+    if zero_init:
+        pooled = jnp.maximum(pooled, 0.0)
     cnt = _conv_window_sum(m[..., None], kernel, stride, padding)[..., 0]
     new_mask = (cnt > 0).astype(mask.dtype)
     return jnp.where(new_mask[..., None] > 0, pooled, 0.0), new_mask

@@ -308,7 +308,9 @@ def test_max_pool_matches_reference_rulebook(rulebook_lib, rng):
         rulebook_lib, rows, d, batch, kernel, stride, padding)
 
     in_feats = grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]]
-    ref_max = np.full((num_act, c), -np.inf)
+    # zeros init like the reference's indiceMaxPool (pool_ops.h:37; the
+    # compiled-functor test test_golden_maxpool.py pins this directly)
+    ref_max = np.zeros((num_act, c))
     for off in range(pairs.shape[0]):
         for t in range(num[off]):
             i, o = pairs[off, 0, t], pairs[off, 1, t]

@@ -121,12 +121,20 @@ def test_sparse_avg_pool_oracle(rng):
 def test_sparse_max_pool_ignores_empty(rng):
     feats, mask = _sparse_grid(rng, b=1, d=4, c=2, n_occ=5)
     feats = feats - 5.0 * mask[..., None]  # make all occupied values negative
-    out, new_mask = sparse_max_pool(jnp.asarray(feats * mask[..., None]), jnp.asarray(mask), 3, 2)
-    out = np.asarray(out)
-    # empty outputs are exactly zero; occupied outputs are the true max (negative)
-    nm = np.asarray(new_mask)
+    # reference semantics (default): indiceMaxPool's zeros init clamps
+    # all-negative receptive fields at 0 (pool_ops.h:37, golden-pinned by
+    # tests/test_golden_maxpool.py)
+    out, nm = sparse_max_pool(jnp.asarray(feats * mask[..., None]), jnp.asarray(mask), 3, 2)
+    out, nm = np.asarray(out), np.asarray(nm)
     assert (out[nm == 0] == 0).all()
-    assert (out[nm == 1] < 0).all()
+    assert (out[nm == 1] == 0).all()  # clamped, not negative
+    # zero_init=False: true max over occupied voxels (negative preserved)
+    out_t, _ = sparse_max_pool(
+        jnp.asarray(feats * mask[..., None]), jnp.asarray(mask), 3, 2,
+        zero_init=False)
+    out_t = np.asarray(out_t)
+    assert (out_t[nm == 0] == 0).all()
+    assert (out_t[nm == 1] < 0).all()
 
 
 def test_masked_batch_norm_stats(rng):
