@@ -232,34 +232,42 @@ def ballquery_batch_p(
 
 
 def bfs_cluster(
-    ball_idx: np.ndarray, start_len: np.ndarray, threshold: int
+    semantic_label: np.ndarray, ball_idx: np.ndarray, start_len: np.ndarray,
+    threshold: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Connected-component clustering over ball-query neighborhoods
-    (reference bfs_cluster, pointgroup_ops.py:153-182): breadth-first walk
-    over the neighbor graph; clusters smaller than `threshold` are dropped.
+    """Semantic-constrained connected-component clustering over ball-query
+    neighborhoods (reference bfs_cluster, pointgroup_ops.py:153-182; CPU
+    find_cc/get_clusters, bfs_cluster.cpp:28-86): FIFO breadth-first walk
+    that only expands into SAME-LABEL neighbors; clusters smaller than
+    `threshold` are dropped. Members are emitted in discovery order and
+    clusters in seed order — row-exact vs the reference's compiled code
+    (tests/test_golden_bfs.py).
 
     Returns (cluster_idx [M, 2] rows of (cluster_id, point_id),
     cluster_offsets [n_clusters+1]).
     """
+    semantic_label = np.asarray(semantic_label)
     n = start_len.shape[0]
     visited = np.zeros(n, bool)
     clusters = []
     for seed in range(n):
         if visited[seed]:
             continue
-        queue = [seed]
         visited[seed] = True
-        members = []
-        while queue:
-            p = queue.pop()
-            members.append(p)
+        members = [seed]
+        head = 0
+        while head < len(members):
+            p = members[head]
+            head += 1
             s, l = start_len[p]
+            lab = semantic_label[p]
             for q in ball_idx[s : s + l]:
-                if not visited[q]:
-                    visited[q] = True
-                    queue.append(int(q))
+                if visited[q] or semantic_label[q] != lab:
+                    continue
+                visited[q] = True
+                members.append(int(q))
         if len(members) >= threshold:
-            clusters.append(sorted(members))
+            clusters.append(members)
     rows = []
     offsets = [0]
     for cid, members in enumerate(clusters):

@@ -230,7 +230,8 @@ def test_pointgroup_leftovers(rng):
         s, l = start_len[i]
         assert (idx[s:s+l] >= 20).all()
 
-    cluster_idx, cluster_off = bfs_cluster(idx, start_len, threshold=3)
+    labels = np.zeros(25, np.int32)  # single semantic class
+    cluster_idx, cluster_off = bfs_cluster(labels, idx, start_len, threshold=3)
     n_clusters = len(cluster_off) - 1
     assert n_clusters == 3  # two in batch 0, one in batch 1
     sizes = np.diff(cluster_off)
