@@ -207,6 +207,44 @@ def sparse_conv_transpose(
     return out * new_mask[..., None].astype(out.dtype), new_mask
 
 
+def sparse_inverse_conv(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    prev_mask: jnp.ndarray,
+    stride: int = 2,
+    padding: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse inverse conv (spconv SparseInverseConv3d) on dense masked grids.
+
+    The reference's inverse conv replays a previous regular conv's rulebook
+    with the gather/scatter pair sides swapped and the per-offset weights
+    unchanged (spconv_ops.h:253-349 `indiceConv` with `_inverse=1`:
+    `indicePairs.subview(i, inverse)`; functional.py SparseInverseConvFunction)
+    — its output lives exactly on the PRE-conv active set. On dense masked
+    grids that equals `sparse_conv_transpose` with the same (kernel, stride,
+    padding), cropped/padded back to the pre-conv grid and restricted to the
+    pre-conv mask (pair relation p = q*stride - padding + tap both ways).
+    Golden-matched against the reference's compiled rulebook in
+    tests/test_golden_rulebook.py::test_inverse_conv_matches_reference_rulebook.
+
+    Args:
+      feats/mask: the downsampled grid (the conv's output side).
+      prev_mask: [B, D0, D0, D0] the pre-conv occupancy to invert onto.
+    """
+    out, _ = sparse_conv_transpose(feats, mask, weight, stride, padding)
+    d_prev = prev_mask.shape[1:4]
+    pads = [(0, 0)]
+    slices = [slice(None)]
+    for ax in range(3):
+        have, want = out.shape[1 + ax], d_prev[ax]
+        pads.append((0, max(0, want - have)))
+        slices.append(slice(0, want))
+    pads.append((0, 0))
+    out = jnp.pad(out, pads)[tuple(slices) + (slice(None),)]
+    return out * prev_mask[..., None].astype(out.dtype), prev_mask
+
+
 def masked_batch_norm_stats(
     feats: jnp.ndarray, mask: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -39,6 +39,7 @@ from dcl_net_tpu.ops.sparse_conv import (
     dilate_mask,
     sparse_avg_pool,
     sparse_conv_transpose,
+    sparse_inverse_conv,
     sparse_max_pool,
 )
 from tests.ref_tools import compile_reference_driver
@@ -260,6 +261,55 @@ def test_conv_transpose_matches_reference_rulebook(rulebook_lib, rng, kernel,
     assert ref_sites == our_sites
     out_rows = iout[:num_act]
     got = ours[out_rows[:, 0], out_rows[:, 1], out_rows[:, 2], out_rows[:, 3]]
+    np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kernel,stride,padding", [(2, 2, 0), (3, 2, 1)])
+def test_inverse_conv_matches_reference_rulebook(rulebook_lib, rng, kernel,
+                                                 stride, padding):
+    """sparse_inverse_conv == the reference's indiceConv with _inverse=1 over
+    a prior regular conv's rulebook: gather/scatter pair sides swapped,
+    per-offset weights unchanged (spconv_ops.h:253-349,
+    functional.py SparseInverseConvFunction). Output lives exactly on the
+    PRE-conv active set."""
+    d_prev, cin, cout, batch = 9, 4, 6, 2
+    d_down = (d_prev + 2 * padding - kernel) // stride + 1
+    # pre-conv occupancy and the conv rulebook that downsampled it
+    _, prev_mask, prev_rows = random_sparse_grid(rng, batch, d_prev, 1, 30)
+    num_act, iout, pairs, num = ref_pairs(
+        rulebook_lib, prev_rows, [d_down] * 3, [kernel] * 3, [stride] * 3,
+        [padding] * 3, [1] * 3, CONV, batch)
+    # features on the DOWNSAMPLED active set (the inverse conv's input)
+    down_feats = rng.randn(num_act, cin).astype(np.float32)
+    weight = rng.randn(kernel, kernel, kernel, cin, cout).astype(np.float32)
+
+    # reference semantics: for each original pair (in_row -> out_row, offset),
+    # inverse conv gathers from the OUT side and scatters to the IN side with
+    # the pair's own kernel tap (p = q*stride - padding + tap, the
+    # getValidOutPos relation — recovered per pair, not hand-mapped)
+    ref_out = np.zeros((len(prev_rows), cout), np.float64)
+    for off in range(pairs.shape[0]):
+        for t in range(num[off]):
+            i, o = pairs[off, 0, t], pairs[off, 1, t]
+            tap = prev_rows[i][1:4] + padding - iout[o][1:4] * stride
+            assert np.all(tap >= 0) and np.all(tap < kernel)
+            w = weight[tap[0], tap[1], tap[2]].astype(np.float64)
+            ref_out[i] += down_feats[o].astype(np.float64) @ w
+
+    # our dense op: put down_feats on the downsampled grid, invert
+    down_grid = np.zeros((batch, d_down, d_down, d_down, cin), np.float32)
+    down_mask = np.zeros((batch, d_down, d_down, d_down), np.float32)
+    for v in range(num_act):
+        bi, x, y, z = iout[v]
+        down_grid[bi, x, y, z] = down_feats[v]
+        down_mask[bi, x, y, z] = 1.0
+    ours, out_mask = sparse_inverse_conv(
+        jnp.asarray(down_grid), jnp.asarray(down_mask), jnp.asarray(weight),
+        jnp.asarray(prev_mask), stride, padding)
+    ours = np.asarray(ours)
+    np.testing.assert_array_equal(np.asarray(out_mask), prev_mask)
+    got = ours[prev_rows[:, 0], prev_rows[:, 1], prev_rows[:, 2],
+               prev_rows[:, 3]]
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-4)
 
 
