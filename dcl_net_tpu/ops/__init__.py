@@ -7,6 +7,8 @@ from dcl_net_tpu.ops.voxelize import (  # noqa: F401
 from dcl_net_tpu.ops.sparse_conv import (  # noqa: F401
     dilate_mask,
     sparse_avg_pool,
+    sparse_conv_transpose,
+    sparse_inverse_conv,
     sparse_max_pool,
     masked_batch_norm_stats,
     dense_to_sparse,
