@@ -99,9 +99,17 @@ def main():
     # full synthetic renders on this single core cost ~10 min of bench wall
     # time (the driver runs bench under a time budget).
     n_needed = max(batch_size, train_batch)
-    n_unique = min(int(os.environ.get("BENCH_UNIQUE_SAMPLES", 64)), n_needed)
+    n_unique = max(1, min(int(os.environ.get("BENCH_UNIQUE_SAMPLES", 64)),
+                          n_needed))
     pool = [ds[i] for i in range(n_unique)]
-    samples = [pool[i % n_unique] for i in range(n_needed)]
+    # the template bank below indexes every class (np.argmax over obj == c
+    # returns a silently-wrong 0 for an absent class) — extend the pool
+    # until all classes appear
+    i = n_unique
+    while len({int(s["obj_idx"]) for s in pool}) < n_classes:
+        pool.append(ds[i])
+        i += 1
+    samples = [pool[i % len(pool)] for i in range(n_needed)]
     # the eval batch must be EXACTLY batch_size rows (samples may hold more
     # when train_batch > batch_size) or inst/s and FLOPs/instance are wrong
     batch = jax.tree.map(jnp.asarray, make_batch(samples[:batch_size]).to_dict())

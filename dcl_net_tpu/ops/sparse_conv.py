@@ -115,25 +115,11 @@ def sparse_avg_pool(
     return out * new_mask[..., None].astype(feats.dtype), new_mask
 
 
-def sparse_max_pool(
-    feats: jnp.ndarray, mask: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int | None = None,
-    zero_init: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sparse max pool over occupied voxels only (ref pool_ops.h:27-62 +
-    src/spconv/maxpool.cc:20-40).
+from functools import partial
 
-    Unoccupied voxels must not contribute: they are replaced by -inf before
-    the window max, and outputs with an empty receptive field are zeroed.
 
-    zero_init=True (default) reproduces the reference EXACTLY: indiceMaxPool
-    initializes its output with torch::zeros and only overwrites when
-    out < in, so all-negative receptive fields CLAMP at 0 (the commented-out
-    "smallest = -1e50" at pool_ops.h:38-39 shows this is shipped behavior;
-    pinned by tests/test_golden_maxpool.py against the compiled reference
-    functors). zero_init=False gives the true max over occupied voxels.
-    """
-    if padding is None:
-        padding = kernel // 2
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _ref_max_pool(feats, mask, kernel, stride, padding, zero_init):
     m = mask.astype(feats.dtype)
     # -inf (not finfo.min): XLA only recognizes the differentiable
     # select-and-scatter max-pool pattern with a -inf init
@@ -152,6 +138,95 @@ def sparse_max_pool(
     cnt = _conv_window_sum(m[..., None], kernel, stride, padding)[..., 0]
     new_mask = (cnt > 0).astype(mask.dtype)
     return jnp.where(new_mask[..., None] > 0, pooled, 0.0), new_mask
+
+
+def _ref_max_pool_fwd(feats, mask, kernel, stride, padding, zero_init):
+    out, new_mask = _ref_max_pool(feats, mask, kernel, stride, padding,
+                                  zero_init)
+    return (out, new_mask), (feats, mask, out, new_mask)
+
+
+def _ref_max_pool_bwd(kernel, stride, padding, zero_init, res, cts):
+    """Reference-exact gradient routing (maxpool.cc:69-91
+    SparseMaxPoolBackwardFunctor): dout accumulates into EVERY input with
+    out == in — including multi-way ties, which XLA's select-and-scatter
+    transpose (single-winner) does not reproduce — and nothing flows through
+    the zeros-init clamp (no input equals the clamped 0).
+
+    Implementation: for each kernel tap t, upsample out/dout from the pooled
+    grid back to the input grid along the pair relation
+    p = q*stride - padding + t (a one-hot lhs-dilated depthwise conv), then
+    din[p] = sum_t dout_up_t[p] * 1[feats[p] == out_up_t[p]] on active
+    inputs. Invalid positions carry dout_up == 0, so spurious equalities
+    with the zero fill contribute nothing.
+    """
+    feats, mask, out, new_mask = res
+    dout, _ = cts
+    b = feats.shape[0]
+    c = feats.shape[-1]
+    d_prev = feats.shape[1:4]
+    d_out = out.shape[1:4]
+    pl = kernel - 1 - padding
+    pads = []
+    for ax in range(3):
+        ph = d_prev[ax] + padding - 1 - (d_out[ax] - 1) * stride
+        pads.append((pl, max(ph, 0)))
+    m = mask.astype(feats.dtype)
+    dout = dout * new_mask[..., None].astype(dout.dtype)
+
+    def uptap(arr, a, bb, cc):
+        # one-hot (flipped) depthwise kernel: out-grid -> in-grid at tap t
+        w = np.zeros((kernel, kernel, kernel, 1, 1), np.float32)
+        w[kernel - 1 - a, kernel - 1 - bb, kernel - 1 - cc, 0, 0] = 1.0
+        w = jnp.asarray(w, arr.dtype)
+        up = jax.lax.conv_general_dilated(
+            arr, jnp.tile(w, (1, 1, 1, 1, c)), (1, 1, 1), pads,
+            lhs_dilation=(stride, stride, stride),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c,
+        )
+        # clip/pad to the exact input extent (ph may overshoot by flooring)
+        return up[:, : d_prev[0], : d_prev[1], : d_prev[2], :]
+
+    din = jnp.zeros_like(feats)
+    for a in range(kernel):
+        for bb in range(kernel):
+            for cc in range(kernel):
+                out_up = uptap(out, a, bb, cc)
+                dout_up = uptap(dout, a, bb, cc)
+                din = din + jnp.where(feats == out_up, dout_up, 0.0)
+    din = din * m[..., None]
+    return din, jnp.zeros_like(mask)
+
+
+_ref_max_pool.defvjp(_ref_max_pool_fwd, _ref_max_pool_bwd)
+
+
+def sparse_max_pool(
+    feats: jnp.ndarray, mask: jnp.ndarray, kernel: int = 3, stride: int = 2, padding: int | None = None,
+    zero_init: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse max pool over occupied voxels only (ref pool_ops.h:27-62 +
+    src/spconv/maxpool.cc:20-40).
+
+    Unoccupied voxels must not contribute: they are replaced by -inf before
+    the window max, and outputs with an empty receptive field are zeroed.
+
+    zero_init=True (default) reproduces the reference EXACTLY: indiceMaxPool
+    initializes its output with torch::zeros and only overwrites when
+    out < in, so all-negative receptive fields CLAMP at 0 (the commented-out
+    "smallest = -1e50" at pool_ops.h:38-39 shows this is shipped behavior;
+    pinned by tests/test_golden_maxpool.py against the compiled reference
+    functors). zero_init=False gives the true max over occupied voxels.
+
+    The custom VJP matches the reference backward functor exactly,
+    INCLUDING ties: dout accumulates into every input equal to the output
+    (maxpool.cc:87-88), where plain select-and-scatter would pick a single
+    winner (pinned by the tie case in tests/test_golden_maxpool.py).
+    """
+    if padding is None:
+        padding = kernel // 2
+    return _ref_max_pool(feats, mask, kernel, stride, padding, zero_init)
 
 
 def sparse_conv_transpose(
@@ -191,12 +266,11 @@ def sparse_conv_transpose(
     precision = (jax.lax.Precision.HIGHEST
                  if feats.dtype == jnp.float32 else None)
 
-    def tconv(inp, w, groups=1):
+    def tconv(inp, w):
         return jax.lax.conv_general_dilated(
             inp, w, (1, 1, 1), [(pl, pl)] * 3,
             lhs_dilation=(stride, stride, stride),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=groups,
             precision=precision,
         )
 
@@ -221,27 +295,51 @@ def sparse_inverse_conv(
     with the gather/scatter pair sides swapped and the per-offset weights
     unchanged (spconv_ops.h:253-349 `indiceConv` with `_inverse=1`:
     `indicePairs.subview(i, inverse)`; functional.py SparseInverseConvFunction)
-    — its output lives exactly on the PRE-conv active set. On dense masked
-    grids that equals `sparse_conv_transpose` with the same (kernel, stride,
-    padding), cropped/padded back to the pre-conv grid and restricted to the
-    pre-conv mask (pair relation p = q*stride - padding + tap both ways).
-    Golden-matched against the reference's compiled rulebook in
+    — its output lives exactly on the PRE-conv active set (pair relation
+    p = q*stride - padding + tap both ways). Dense equivalent: an lhs-dilated
+    correlation with the flipped kernel whose HIGH-side padding is sized to
+    reach the pre-conv extent exactly — NOT a crop of sparse_conv_transpose:
+    when the forward conv's size formula floored
+    ((D0 + 2*padding - kernel) % stride != 0) the transpose's natural extent
+    is SHORTER than D0 and real rulebook contributions land beyond it.
+    Golden-matched against the reference's compiled rulebook (incl. a
+    flooring case) in
     tests/test_golden_rulebook.py::test_inverse_conv_matches_reference_rulebook.
 
     Args:
       feats/mask: the downsampled grid (the conv's output side).
-      prev_mask: [B, D0, D0, D0] the pre-conv occupancy to invert onto.
+      prev_mask: [B, D0, D1, D2] the pre-conv occupancy to invert onto.
     """
-    out, _ = sparse_conv_transpose(feats, mask, weight, stride, padding)
+    k = weight.shape[0]
+    d_down = feats.shape[1:4]
     d_prev = prev_mask.shape[1:4]
-    pads = [(0, 0)]
-    slices = [slice(None)]
+    pl = k - 1 - padding
+    if pl < 0:
+        raise NotImplementedError("padding > kernel-1 not supported")
+    pads = []
     for ax in range(3):
-        have, want = out.shape[1 + ax], d_prev[ax]
-        pads.append((0, max(0, want - have)))
-        slices.append(slice(0, want))
-    pads.append((0, 0))
-    out = jnp.pad(out, pads)[tuple(slices) + (slice(None),)]
+        # dilated input length + pl + ph - k + 1 == D_prev
+        ph = d_prev[ax] + padding - 1 - (d_down[ax] - 1) * stride
+        if ph < 0:
+            raise ValueError(
+                f"prev_mask dim {d_prev[ax]} shorter than the conv geometry "
+                f"allows for input dim {d_down[ax]}")
+        pads.append((pl, ph))
+    m = mask.astype(feats.dtype)
+    x = feats * m[..., None]
+    wf = weight[::-1, ::-1, ::-1]
+    precision = (jax.lax.Precision.HIGHEST
+                 if feats.dtype == jnp.float32 else None)
+
+    def tconv(inp, w):
+        return jax.lax.conv_general_dilated(
+            inp, w, (1, 1, 1), pads,
+            lhs_dilation=(stride, stride, stride),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            precision=precision,
+        )
+
+    out = tconv(x, wf)
     return out * prev_mask[..., None].astype(out.dtype), prev_mask
 
 

@@ -29,3 +29,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def rulebook_lib(tmp_path_factory):
+    """The reference's compiled spconv rulebook (shared: test_golden_rulebook
+    + test_golden_maxpool both drive it; one g++ compile per session)."""
+    import ctypes
+    from pathlib import Path
+
+    from tests.ref_tools import compile_reference_driver
+
+    lib = compile_reference_driver(
+        tmp_path_factory,
+        Path(__file__).parent / "golden_cpp" / "ref_rulebook.cc",
+        [Path("/root/reference/libs/spconv/include")], "ref_rulebook")
+    lib.ref_get_indice_pairs.restype = ctypes.c_int
+    return lib

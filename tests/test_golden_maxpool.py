@@ -42,15 +42,7 @@ def maxpool_lib(tmp_path_factory):
         [REF_ROOT / "include", REF_ROOT], "ref_maxpool")
     return lib
 
-
-@pytest.fixture(scope="session")
-def rulebook_lib(tmp_path_factory):
-    # same driver as test_golden_rulebook (fixtures don't cross modules)
-    lib = compile_reference_driver(
-        tmp_path_factory, SRC_DIR / "ref_rulebook.cc", [REF_ROOT / "include"],
-        "ref_rulebook_mp")
-    lib.ref_get_indice_pairs.restype = ctypes.c_int
-    return lib
+# rulebook_lib fixture: tests/conftest.py (shared with test_golden_rulebook)
 
 
 def _iptr(a):
@@ -126,6 +118,46 @@ def test_max_pool_vjp_matches_reference_backward(maxpool_lib, rulebook_lib, rng)
     din_grid = np.asarray(vjp(jnp.asarray(dout_grid))[0])
     got = din_grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]]
     np.testing.assert_allclose(got, ref_din, rtol=1e-5, atol=1e-6)
+
+
+def test_max_pool_vjp_matches_reference_on_ties(maxpool_lib, rulebook_lib, rng):
+    """Quantized features force exact ties inside windows: the reference
+    backward adds dout to EVERY input with out == in (maxpool.cc:87-88), so
+    a tied maximum receives the cotangent multiple times. Plain
+    select-and-scatter picks a single winner; the custom VJP must not."""
+    d, c, batch = 8, 3, 1
+    grid, mask, rows = random_sparse_grid(rng, batch, d, c, 50)
+    # quantize to a handful of levels -> many exact ties, incl. negatives
+    grid = (np.round(grid * 1.5).astype(np.float32) / 2.0) * mask[..., None]
+    out_d, num_act, iout, pairs, num = _pool_pairs(rulebook_lib, rows, d, batch)
+
+    in_feats = np.ascontiguousarray(
+        grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]], np.float32)
+    ref_out = np.zeros((num_act, c), np.float32)
+    maxpool_lib.ref_maxpool_fwd(
+        _fptr(ref_out), _fptr(in_feats), _iptr(pairs), _iptr(num),
+        pairs.shape[0], pairs.shape[2], num_act, len(rows), c)
+    dout = rng.randn(num_act, c).astype(np.float32)
+    ref_din = np.zeros_like(in_feats)
+    maxpool_lib.ref_maxpool_bwd(
+        _fptr(ref_out), _fptr(in_feats), _fptr(np.ascontiguousarray(dout)),
+        _fptr(ref_din), _iptr(pairs), _iptr(num),
+        pairs.shape[0], pairs.shape[2], num_act, len(rows), c)
+
+    dout_grid = np.zeros((batch, out_d, out_d, out_d, c), np.float32)
+    out_rows = iout[:num_act]
+    dout_grid[out_rows[:, 0], out_rows[:, 1], out_rows[:, 2], out_rows[:, 3]] = dout
+
+    def f(g):
+        return sparse_max_pool(g, jnp.asarray(mask), 3, 2, 1)[0]
+
+    _, vjp = jax.vjp(f, jnp.asarray(grid))
+    din_grid = np.asarray(vjp(jnp.asarray(dout_grid))[0])
+    got = din_grid[rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]]
+    np.testing.assert_allclose(got, ref_din, rtol=1e-5, atol=1e-6)
+    # the tie path actually fired: some input receives gradient from a
+    # window where it ties with another input
+    assert np.any(np.abs(got) > 0)
 
 
 def test_field_max_pool_matches_reference_functor(maxpool_lib, rulebook_lib, rng):

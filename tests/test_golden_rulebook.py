@@ -42,20 +42,11 @@ from dcl_net_tpu.ops.sparse_conv import (
     sparse_inverse_conv,
     sparse_max_pool,
 )
-from tests.ref_tools import compile_reference_driver
 
-REF_INCLUDE = Path("/root/reference/libs/spconv/include")
 SRC_DIR = Path(__file__).parent / "golden_cpp"
 
 
-@pytest.fixture(scope="session")
-def rulebook_lib(tmp_path_factory):
-    lib = compile_reference_driver(
-        tmp_path_factory, SRC_DIR / "ref_rulebook.cc", [REF_INCLUDE],
-        "ref_rulebook")
-    lib.ref_get_indice_pairs.restype = ctypes.c_int
-    return lib
-
+# rulebook_lib fixture: tests/conftest.py (shared with test_golden_maxpool)
 
 CONV, DECONV, SUBM = 0, 1, 2
 
@@ -264,15 +255,22 @@ def test_conv_transpose_matches_reference_rulebook(rulebook_lib, rng, kernel,
     np.testing.assert_allclose(got, ref_out, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("kernel,stride,padding", [(2, 2, 0), (3, 2, 1)])
+@pytest.mark.parametrize("kernel,stride,padding,d_prev", [
+    (2, 2, 0, 9),
+    (3, 2, 1, 9),
+    # flooring case: (8 + 2 - 3) % 2 != 0, so the transpose's natural extent
+    # (7) is SHORTER than d_prev (8) and pair (p=7, q=3, tap=2) exists —
+    # a crop/pad implementation silently zeroes that row (round-3 review)
+    (3, 2, 1, 8),
+])
 def test_inverse_conv_matches_reference_rulebook(rulebook_lib, rng, kernel,
-                                                 stride, padding):
+                                                 stride, padding, d_prev):
     """sparse_inverse_conv == the reference's indiceConv with _inverse=1 over
     a prior regular conv's rulebook: gather/scatter pair sides swapped,
     per-offset weights unchanged (spconv_ops.h:253-349,
     functional.py SparseInverseConvFunction). Output lives exactly on the
     PRE-conv active set."""
-    d_prev, cin, cout, batch = 9, 4, 6, 2
+    cin, cout, batch = 4, 6, 2
     d_down = (d_prev + 2 * padding - kernel) // stride + 1
     # pre-conv occupancy and the conv rulebook that downsampled it
     _, prev_mask, prev_rows = random_sparse_grid(rng, batch, d_prev, 1, 30)
