@@ -29,6 +29,7 @@ the dense convs it would replace at this occupancy; see docs/PERF.md.)
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -113,9 +114,6 @@ def sparse_avg_pool(
     else:
         out = s / jnp.maximum(cnt, 1.0)[..., None]
     return out * new_mask[..., None].astype(feats.dtype), new_mask
-
-
-from functools import partial
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
