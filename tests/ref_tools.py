@@ -10,6 +10,7 @@ the model/data golden modules keep their own richer stub installers
 
 import importlib.util
 import os
+import re
 import sys
 import types
 
@@ -87,3 +88,41 @@ def compile_reference_driver(tmp_path_factory, driver_cc, include_dirs, name):
     if proc.returncode != 0:
         pytest.fail(f"reference {name} build failed:\n{proc.stderr}")
     return ctypes.CDLL(str(so))
+
+
+# `kernel<<<grid, block[, smem[, stream]]>>>(args)` — the CUDA launch
+# syntax, the ONLY construct in the reference .cu files g++ cannot parse.
+_CUDA_LAUNCH_RE = re.compile(
+    r"([A-Za-z_][A-Za-z_0-9]*(?:\s*<[^<>]*>)?)\s*<<<(.*?)>>>\s*\("
+)
+
+
+def serialize_cuda_source(src_path, dst_path):
+    """Copy a reference .cu file, rewriting ONLY the `<<<...>>>` launch
+    statements to `CUDA_LAUNCH(grid, block, ...)(kernel, args...)` so the
+    file compiles as plain C++ against stubs/cuda_serial.h. Kernel bodies and
+    launch configurations stay byte-identical; returns the rewrite count so
+    tests can assert the transform actually matched."""
+    text = open(src_path).read()
+    xformed, n_subs = _CUDA_LAUNCH_RE.subn(r"CUDA_LAUNCH(\2)(\1, ", text)
+    with open(dst_path, "w") as f:
+        f.write(xformed)
+    return n_subs
+
+
+def compile_cuda_driver(tmp_path_factory, driver_cc, cu_sources,
+                        include_dirs, name):
+    """Compile a golden driver around reference .cu kernels run serially.
+
+    cu_sources: {include_name: reference_path} — each file is copied through
+    serialize_cuda_source into a temp include dir the driver sees first on
+    the include path.
+    """
+    xdir = tmp_path_factory.mktemp(f"{name}_cu")
+    for inc_name, src in cu_sources.items():
+        if not os.path.isfile(str(src)):
+            pytest.skip(f"{src} not available")
+        assert serialize_cuda_source(str(src), str(xdir / inc_name)) > 0, (
+            f"no CUDA launches found in {src}; transform regex out of date?")
+    return compile_reference_driver(
+        tmp_path_factory, driver_cc, [xdir] + list(include_dirs), name)
