@@ -33,6 +33,14 @@ struct dim3 {
       : x(x_), y(y_), z(z_) {}
 };
 
+// CUDA vector types (avgpool.cu uses them as reinterpret_cast load widths).
+struct int2 {
+  int x, y;
+};
+struct int4 {
+  int x, y, z, w;
+};
+
 // Mutable launch state the kernel bodies read. One kernel at a time — the
 // drivers are single-threaded ctypes calls.
 static dim3 gridDim, blockDim, blockIdx, threadIdx;

@@ -92,8 +92,11 @@ def compile_reference_driver(tmp_path_factory, driver_cc, include_dirs, name):
 
 # `kernel<<<grid, block[, smem[, stream]]>>>(args)` — the CUDA launch
 # syntax, the ONLY construct in the reference .cu files g++ cannot parse.
+# The name may be namespace-qualified and templated; the launch config may
+# span lines (hence DOTALL) but contains no `>>>` of its own.
 _CUDA_LAUNCH_RE = re.compile(
-    r"([A-Za-z_][A-Za-z_0-9]*(?:\s*<[^<>]*>)?)\s*<<<(.*?)>>>\s*\("
+    r"([A-Za-z_][A-Za-z_0-9:]*(?:\s*<[^<>]*>)?)\s*<<<(.*?)>>>\s*\(",
+    re.DOTALL,
 )
 
 
