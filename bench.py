@@ -118,6 +118,9 @@ def main():
         unit_voxel_extent=unit, voxel_num_limit=grid,
         n_inp=n_points, n_tmp=n_points,
         interp_mode="pallas",      # the eval tools' production configuration
+        # matmul voxelizer (ops/pallas_voxelize.py): the serial-scatter
+        # replacement; BENCH_VOX=scatter re-measures the old path
+        voxelize_impl=os.environ.get("BENCH_VOX", "matmul"),
         dtype=jnp.bfloat16,        # drift-bounded fast path (tests/test_model.py)
         # BENCH_REMAT=1: rematerialize backbones in backward — required to
         # fit B>=256 training in 16G HBM (models/dcl_net.py)

@@ -47,6 +47,7 @@ from dcl_net_tpu.geometry.transform import (
 from dcl_net_tpu.models.backbone import MultiScalePointFeatures, SparseBackbone
 from dcl_net_tpu.models.blocks import PointMLP
 from dcl_net_tpu.ops.knn import knn
+from dcl_net_tpu.ops.pallas_voxelize import pallas_voxelize
 from dcl_net_tpu.ops.voxelize import voxelize_dense
 from dcl_net_tpu.registry import MODELS
 
@@ -106,6 +107,15 @@ class DCLNet(nn.Module):
     capacities: Sequence[int] = (2048, 1024, 512, 64)
     scale_list: Sequence[int] = (2, 4, 6, 8)  # reference quirk, DCL_Net.py:54
     interp_mode: str = "exact"
+    # "scatter" = exact XLA scatter-add (reference semantics to f32);
+    # "matmul" = Pallas factorized one-hot matmul (ops/pallas_voxelize.py) —
+    # the backend's serial scatter costs ~25 ms at B=256 regardless of
+    # formulation; with bf16 compute dtype the payloads ride the single-pass
+    # MXU path (14.1 ms measured: sums of bf16-rounded features, exact f32
+    # counts). With f32 payloads the kernel needs HIGHEST precision and is
+    # SLOWER than the scatter (55 ms), so the tools default to matmul only
+    # under TPU+bf16 (alongside interp_mode="pallas").
+    voxelize_impl: str = "scatter"
     dtype: Optional[jnp.dtype] = None  # compute dtype for the big matmuls
     # Rematerialize the backbones in the backward pass: drops the dense-grid
     # conv activations (the dominant training-memory term — [B, 64^3, C]
@@ -163,9 +173,15 @@ class DCLNet(nn.Module):
     # ------------------------------------------------------------------
     def _encode(self, backbone, point_feats, feats, voxel_idx, train):
         grid_shape = tuple(int(d) for d in self.voxel_num_limit)
-        grid, count = voxelize_dense(
-            feats, voxel_idx, grid_shape, mode=self.voxelization_mode
-        )
+        if self.voxelize_impl == "matmul" and self.voxelization_mode in (3, 4):
+            grid, count = pallas_voxelize(
+                feats, voxel_idx, grid_shape, mode=self.voxelization_mode,
+                out_dtype=self.dtype or feats.dtype,
+            )
+        else:
+            grid, count = voxelize_dense(
+                feats, voxel_idx, grid_shape, mode=self.voxelization_mode
+            )
         mask = (count > 0).astype(feats.dtype)
         pyramid = backbone(grid, mask, train)
         points = feats[..., 4:7]

@@ -127,6 +127,22 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
 
         mode = "pallas" if jax.default_backend() == "tpu" else "exact"
     kwargs["interp_mode"] = str(mode)
+    vox = m.get("voxelize_impl")
+    if vox is None:
+        # Default: the Pallas matmul voxelizer under TPU+bf16 (the backend's
+        # serial scatter costs ~25 ms at B=256 regardless of formulation; the
+        # bf16 MXU one-hot matmul form measures 14.1 ms and is custom-VJP'd
+        # for training — ops/pallas_voxelize.py). Under f32 payloads the
+        # kernel needs HIGHEST-precision matmuls (55 ms — slower than the
+        # scatter), and on CPU interpret-mode kernels are slow, so both keep
+        # the exact scatter.
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        import jax.numpy as jnp
+
+        vox = "matmul" if on_tpu and dtype == jnp.bfloat16 else "scatter"
+    kwargs["voxelize_impl"] = str(vox)
     return model_cls(
         voxelization_mode=int(m.voxelization_mode),
         unit_voxel_extent=tuple(m.unit_voxel_extent),

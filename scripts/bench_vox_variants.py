@@ -76,6 +76,30 @@ def main():
         t = timeit(jax.jit(fn), feats, lin, iters=5)
         print(f"{name}: {(t - floor) / K:.1f} ms/call", flush=True)
 
+    # Pallas factorized one-hot matmul voxelizer (ops/pallas_voxelize.py)
+    from dcl_net_tpu.ops.pallas_voxelize import pallas_voxelize
+
+    d = 64
+    idx3 = jnp.stack(
+        [lin // (d * d), (lin // d) % d, lin % d], axis=-1
+    ).astype(jnp.int32)
+    feats7 = feats[..., :7]
+
+    def pvox(out_dtype):
+        def f(fe, i3):
+            acc = 0.0
+            for i in range(K):
+                g_, c_ = pallas_voxelize(
+                    fe + i * 1e-8, i3, (d, d, d), out_dtype=out_dtype)
+                acc = acc + g_.astype(jnp.float32).sum() + c_.sum()
+            return acc
+        return f
+
+    for name, dt in [("pallas-mm bf16", jnp.bfloat16),
+                     ("pallas-mm f32", jnp.float32)]:
+        t = timeit(jax.jit(pvox(dt)), feats7, idx3, iters=5)
+        print(f"{name}: {(t - floor) / K:.1f} ms/call", flush=True)
+
     # compaction at the current chunk setting (level-0 shape)
     d, c, occ = 32, 32, 700
     cap = int(os.environ.get("DCLX_BENCH_CAP", 2048))

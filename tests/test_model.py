@@ -336,3 +336,21 @@ def test_default_capacities_have_margin_over_real_occupancy():
             assert 2 * float(mx) <= cap or cap >= np.prod(grid) // (8 ** (level + 1)), (
                 f"{branch} level {level}: occupancy {float(mx)} vs capacity {cap}"
             )
+
+
+def test_matmul_voxelizer_matches_scatter_poses(model_and_vars):
+    """voxelize_impl='matmul' (Pallas one-hot matmul, the TPU eval default)
+    vs the exact scatter path: identical f32 voxel grids up to summation
+    order, so pose outputs must agree tightly."""
+    model, variables, batch = model_and_vars
+    mm = DCLNet(
+        unit_voxel_extent=UNIT, voxel_num_limit=GRID, n_inp=N, n_tmp=N,
+        capacities=(256, 64, 16, 8), voxelize_impl="matmul",
+    )
+    ref = model.apply(variables, batch, train=False)
+    got = mm.apply(variables, batch, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["rot_pred"]), np.asarray(ref["rot_pred"]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got["trans_pred"]), np.asarray(ref["trans_pred"]),
+        atol=1e-5)
