@@ -1,0 +1,114 @@
+"""AOT serving artifacts via jax.export (StableHLO).
+
+The reference has no deployment story: serving its model means shipping the
+full torch codebase, the compiled spconv/pointgroup/pointnet CUDA
+extensions, the YAML config, and the ``.pth`` checkpoint, then driving
+``tools/test_YCBV_stage1.py``-style scripts (reference
+tools/test_YCBV_stage1.py:127-205). Here the trained stage-1 eval forward
+is packaged as ONE self-contained artifact:
+
+- the weights AND the per-class template cache are baked in as constants —
+  the template branch depends only on the CAD cloud, so it is encoded once
+  at export time (the same reuse the evaluator's template cache exploits,
+  eval/evaluator.py);
+- the serving input is ``(feats [B,N,7] f32, voxel_idx [B,N,3] i32,
+  obj_idx [B] i32)`` — exactly the per-instance tensors the test datasets
+  emit (data/schema.py);
+- the output is ``{"rot_pred" [B,3,3], "trans_pred" [B,3],
+  "conf" [B,N+M]}``;
+- :func:`load_serve` deserializes and returns a callable. The serving site
+  needs jax with a matching backend — no dcl_net_tpu code, config, or
+  checkpoint.
+
+Platform notes: ``platforms=("tpu",)`` bakes the production fast paths
+(Pallas matmul voxelizer / fused interp under bf16) into a TPU-only
+artifact; a portable artifact (``("cpu", "tpu")``) must be exported from a
+model configured with the exact XLA paths (``interp_mode="exact"``,
+``voxelize_impl="scatter"``) since the Pallas kernels only lower for TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def encode_template_cache(model, variables, bank: Dict[str, object]):
+    """Encode the per-class CAD template bank once (eval semantics).
+
+    bank: {"feats": [C, M, 7], "voxel_idx": [C, M, 3]} as produced by the
+    datasets' ``template_bank()``.
+    """
+    inputs = {"tmp": {
+        "feats": jnp.asarray(bank["feats"]),
+        "voxel_idx": jnp.asarray(bank["voxel_idx"]),
+    }}
+    return jax.jit(
+        lambda v, b: model.apply(v, b, train=False,
+                                 method=model.encode_template)
+    )(variables, inputs)
+
+
+def make_serve_fn(model, variables, tmp_cache):
+    """Build the serving closure: (feats, voxel_idx, obj_idx) -> poses.
+
+    Weights and the template cache are closed over, so ``jax.export``
+    embeds them as constants in the artifact.
+    """
+
+    def serve(feats, voxel_idx, obj_idx):
+        batch = {"inp": {"feats": feats, "voxel_idx": voxel_idx}}
+        obs = model.apply(variables, batch, train=False,
+                          method=model.encode_observed)
+        tmp = jax.tree.map(lambda x: x[obj_idx], tmp_cache)
+        out = model.apply(variables, obs, tmp, train=False,
+                          method=model.fuse)
+        return {
+            "rot_pred": out["rot_pred"],
+            "trans_pred": out["trans_pred"],
+            "conf": out["conf"],
+        }
+
+    return serve
+
+
+def export_serve(
+    model,
+    variables,
+    bank: Dict[str, object],
+    batch_size: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Export the stage-1 serving function to portable StableHLO bytes."""
+    tmp_cache = encode_template_cache(model, variables, bank)
+    serve = make_serve_fn(model, variables, tmp_cache)
+    n = int(model.n_inp)
+    specs = (
+        jax.ShapeDtypeStruct((batch_size, n, 7), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, n, 3), jnp.int32),
+        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+    )
+    exported = jax.export.export(
+        jax.jit(serve),
+        platforms=list(platforms) if platforms is not None else None,
+    )(*specs)
+    return exported.serialize()
+
+
+def load_serve(path_or_bytes):
+    """Deserialize a serving artifact; returns the callable.
+
+    Accepts a filesystem path or the raw bytes. The returned function has
+    the exported signature (feats, voxel_idx, obj_idx) -> dict and runs
+    under jit on the current backend (which must be one of the artifact's
+    platforms).
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    exported = jax.export.deserialize(bytearray(data))
+    return jax.jit(exported.call)

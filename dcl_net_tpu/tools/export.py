@@ -1,0 +1,118 @@
+"""Export the trained stage-1 eval forward as a serving artifact.
+
+Usage:
+  python -m dcl_net_tpu.tools.export --config configs/config_YCBV_bs32.yaml \
+      --checkpoint log/.../epoch_84 --out dclnet_ycbv.stablehlo \
+      --batch 512 --platforms tpu
+
+Produces a single self-contained StableHLO file (weights + per-class
+template cache baked in; see dcl_net_tpu/serving.py). The reference's only
+deployment path is running its eval scripts in-place with the full
+torch/CUDA stack (reference tools/test_YCBV_stage1.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _bank_dataset(cfg):
+    """The dataset whose CAD template bank gets baked into the artifact —
+    same selection the eval CLIs make."""
+    ds_cfg = cfg.get("hyper_dataset_test") or cfg.hyper_dataset_train
+    name = ds_cfg.name
+    if name == "synthetic":
+        from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+
+        return SyntheticPoseDataset(
+            n_points=int(ds_cfg.input_size),
+            unit_voxel_extent=tuple(ds_cfg.unit_voxel_extent),
+            voxel_num_limit=tuple(int(v) for v in ds_cfg.voxel_num_limit),
+            length=int(ds_cfg.get("length", 64)),
+        )
+    if name == "ycbv_test":
+        from dcl_net_tpu.data.ycbv import YCBVTestDataset
+
+        root = os.path.join(cfg.path_data, "YCB_Video_Dataset", "root")
+        assets = os.path.join(cfg.path_data, "YCB_Video_Dataset")
+        return YCBVTestDataset(ds_cfg, root, assets_dir=assets)
+    if name == "linemod":
+        from dcl_net_tpu.data.linemod import LineMODDataset
+
+        root = os.path.join(cfg.path_data, "Linemod_preprocessed")
+        return LineMODDataset("test", ds_cfg, root)
+    raise KeyError(f"no template-bank source for dataset {name!r}")
+
+
+def main(argv=None):
+    from dcl_net_tpu.tools.common import base_parser, build_model, init
+
+    parser = base_parser("DCL-Net TPU stage-1 serving export")
+    parser.add_argument("--out", required=True, help="artifact output path")
+    parser.add_argument("--batch", default=None, type=int,
+                        help="serving batch size (default: eval bs)")
+    parser.add_argument(
+        "--platforms", default=None,
+        help="comma-separated lowering platforms, e.g. 'tpu' or 'cpu,tpu'; "
+        "default: current backend. Multi-platform artifacts require the "
+        "portable XLA paths (exact interp + scatter voxelize).")
+    args = parser.parse_args(argv)
+    logger, cfg = init(args, "export")
+
+    import jax
+
+    platforms = (
+        [p.strip() for p in args.platforms.split(",") if p.strip()]
+        if args.platforms else [jax.default_backend()]
+    )
+    if len(platforms) > 1 or platforms != [jax.default_backend()]:
+        # Pallas fast paths only lower for TPU from a TPU backend; force the
+        # portable XLA paths for cross-platform artifacts.
+        cfg.model.interp_mode = "exact"
+        cfg.model.voxelize_impl = "scatter"
+    model = build_model(cfg)
+
+    from dcl_net_tpu.serving import export_serve
+    from dcl_net_tpu.train.checkpoints import (
+        convert_reference_state_dict,
+        load_checkpoint,
+        load_torch_checkpoint,
+    )
+
+    if args.checkpoint:
+        if args.checkpoint.endswith((".pth", ".pt")):
+            variables = convert_reference_state_dict(
+                load_torch_checkpoint(args.checkpoint))
+        else:
+            payload = load_checkpoint(args.checkpoint)
+            variables = {"params": payload["params"],
+                         "batch_stats": payload["batch_stats"]}
+    else:
+        # export-from-init: lets the artifact pipeline be exercised without
+        # a checkpoint (smoke/testing); a real deployment passes one.
+        from dcl_net_tpu.data.schema import make_batch
+
+        ds = _bank_dataset(cfg)
+        batch = make_batch([ds[0], ds[1]]).to_dict()
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(int(cfg.get("rd_seed", 1))), batch,
+            train=False)
+        logger.warning("no --checkpoint: exporting freshly initialized "
+                       "weights (smoke mode)")
+
+    dataset = _bank_dataset(cfg)
+    bank = dataset.template_bank()
+    bs = args.batch or int(
+        cfg.get("hyper_dataloader_test", {}).get("bs", 512)
+        if cfg.get("hyper_dataloader_test") else 512)
+    data = export_serve(model, variables, bank, bs, platforms=platforms)
+    with open(args.out, "wb") as f:
+        f.write(data)
+    logger.warning(
+        f"exported stage-1 serving artifact: {args.out} "
+        f"({len(data) / 1e6:.1f} MB, batch={bs}, platforms={platforms})")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

@@ -43,10 +43,12 @@ def main():
     samples = [ds[i] for i in range(batch_size)]
     batch = jax.tree.map(jnp.asarray, make_batch(samples).to_dict())
 
+    # PROF_VOX=scatter re-profiles the old exact-scatter path
+    vox_impl = os.environ.get("PROF_VOX", "matmul")
     model = DCLNet(
         unit_voxel_extent=unit, voxel_num_limit=grid,
         n_inp=n_points, n_tmp=n_points,
-        interp_mode="pallas", dtype=jnp.bfloat16,
+        interp_mode="pallas", dtype=jnp.bfloat16, voxelize_impl=vox_impl,
     )
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False
@@ -65,14 +67,22 @@ def main():
     unit_np = np.asarray(unit, np.float32)
     offset = -0.5 * unit_np * np.asarray(grid, np.float32)
 
-    def _vox(b):
-        g, count = voxelize_dense(
+    def _voxelize(b):
+        if vox_impl == "matmul":
+            from dcl_net_tpu.ops.pallas_voxelize import pallas_voxelize
+
+            return pallas_voxelize(
+                b["inp"]["feats"], b["inp"]["voxel_idx"], grid, mode=4,
+                out_dtype=jnp.bfloat16)
+        return voxelize_dense(
             b["inp"]["feats"], b["inp"]["voxel_idx"], grid, mode=4)
-        return g.sum(axis=(1, 2, 3, 4))  # small fetchable
+
+    def _vox(b):
+        g, count = _voxelize(b)
+        return g.astype(jnp.float32).sum(axis=(1, 2, 3, 4))  # small fetchable
 
     def _pyramid(v, b):
-        g, count = voxelize_dense(
-            b["inp"]["feats"], b["inp"]["voxel_idx"], grid, mode=4)
+        g, count = _voxelize(b)
         mask = (count > 0).astype(g.dtype)
         bb = model.bind(v)
         return bb.backbone_inp(g, mask, False)

@@ -1,0 +1,132 @@
+"""Serving-export tests: jax.export round-trip + CLI smoke.
+
+The artifact must reproduce the in-process eval forward exactly (same
+graph, weights baked as constants) and be callable after deserialization
+with no dcl_net_tpu state.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dcl_net_tpu.models import DCLNet
+from dcl_net_tpu.ops.voxelize import point_to_voxel_index
+from dcl_net_tpu.serving import (
+    encode_template_cache,
+    export_serve,
+    load_serve,
+    make_serve_fn,
+)
+
+GRID = (16, 16, 16)
+UNIT = (0.024, 0.024, 0.024)
+N = 64
+C_CLASSES = 3
+
+
+def _tiny_setup(seed=0):
+    rng = np.random.RandomState(seed)
+    model = DCLNet(
+        unit_voxel_extent=UNIT, voxel_num_limit=GRID, n_inp=N, n_tmp=N,
+        capacities=(256, 64, 16, 8),
+    )
+    tmp = (rng.rand(C_CLASSES, N, 3).astype(np.float32) - 0.5) * 0.15
+    rgb = rng.rand(C_CLASSES, N, 3).astype(np.float32) - 0.5
+    bank_feats = np.concatenate(
+        [np.ones((C_CLASSES, N, 1), np.float32), rgb, tmp], -1)
+    bank_vi = np.asarray(point_to_voxel_index(jnp.asarray(tmp), UNIT, GRID))
+    bank = {"feats": bank_feats, "voxel_idx": bank_vi}
+
+    b = 4
+    obj_idx = rng.randint(0, C_CLASSES, size=(b,)).astype(np.int32)
+    pts = (rng.rand(b, N, 3).astype(np.float32) - 0.5) * 0.15
+    rgb_i = rng.rand(b, N, 3).astype(np.float32) - 0.5
+    feats = np.concatenate([np.ones((b, N, 1), np.float32), rgb_i, pts], -1)
+    vi = np.asarray(point_to_voxel_index(jnp.asarray(pts), UNIT, GRID))
+
+    init_batch = {
+        "inp": {"feats": jnp.asarray(feats),
+                "voxel_idx": jnp.asarray(vi)},
+        "tmp": {"feats": jnp.asarray(bank_feats[obj_idx]),
+                "voxel_idx": jnp.asarray(bank_vi[obj_idx])},
+    }
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(seed), init_batch, train=False)
+    return model, variables, bank, feats, vi, obj_idx
+
+
+def test_export_roundtrip_matches_direct(tmp_path):
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+
+    tmp_cache = encode_template_cache(model, variables, bank)
+    direct = jax.jit(make_serve_fn(model, variables, tmp_cache))(
+        jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx))
+
+    data = export_serve(model, variables, bank, batch_size=4,
+                        platforms=["cpu"])
+    path = tmp_path / "artifact.stablehlo"
+    path.write_bytes(data)
+
+    serve = load_serve(str(path))
+    got = serve(jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx))
+
+    assert set(got) == {"rot_pred", "trans_pred", "conf"}
+    assert got["rot_pred"].shape == (4, 3, 3)
+    assert got["conf"].shape == (4, 2 * N)
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(direct[k]), atol=1e-6,
+            err_msg=k)
+
+
+def test_export_artifact_is_weight_dependent(tmp_path):
+    """Different weights must produce a different artifact output — guards
+    against accidentally baking init-time constants only."""
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+    _, variables2, *_ = _tiny_setup(seed=1)
+    # re-init with a different key gives different params for same shapes
+    a1 = export_serve(model, variables, bank, 4, platforms=["cpu"])
+    a2 = export_serve(model, variables2, bank, 4, platforms=["cpu"])
+    o1 = load_serve(a1)(jnp.asarray(feats), jnp.asarray(vi),
+                        jnp.asarray(obj_idx))
+    o2 = load_serve(a2)(jnp.asarray(feats), jnp.asarray(vi),
+                        jnp.asarray(obj_idx))
+    assert np.abs(np.asarray(o1["trans_pred"])
+                  - np.asarray(o2["trans_pred"])).max() > 1e-6
+
+
+def test_export_cli_smoke(tmp_path):
+    from dcl_net_tpu.tools import export as export_tool
+
+    out = tmp_path / "smoke.stablehlo"
+    path = export_tool.main([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--out", str(out),
+        "--batch", "2",
+        "--log_root", str(tmp_path / "log"),
+        "--override",
+        "model.n_inp=64", "model.n_tmp=64",
+        "model.voxel_num_limit=[16,16,16]",
+        "model.unit_voxel_extent=[0.024,0.024,0.024]",
+        "model.capacities=[256,64,16,8]",
+        "hyper_dataset_train.input_size=64",
+        "hyper_dataset_train.tmp_size=64",
+        "hyper_dataset_train.voxel_num_limit=[16,16,16]",
+        "hyper_dataset_train.unit_voxel_extent=[0.024,0.024,0.024]",
+    ])
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+    serve = load_serve(path)
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(2, 64, 3).astype(np.float32) - 0.5) * 0.15
+    feats = np.concatenate(
+        [np.ones((2, 64, 1), np.float32),
+         rng.rand(2, 64, 3).astype(np.float32) - 0.5, pts], -1)
+    vi = np.asarray(point_to_voxel_index(
+        jnp.asarray(pts), (0.024,) * 3, (16,) * 3))
+    out = serve(jnp.asarray(feats), jnp.asarray(vi),
+                np.zeros((2,), np.int32))
+    assert np.isfinite(np.asarray(out["rot_pred"])).all()
+    assert np.isfinite(np.asarray(out["trans_pred"])).all()
