@@ -97,6 +97,64 @@ def export_serve(
     return exported.serialize()
 
 
+def make_serve_fn_stage2(model, variables, refiner, refiner_variables,
+                         tmp_cache, iterations: int):
+    """Stage-1 + iterative refiner serving closure (the full two-stage
+    inference pipeline the reference drives from tools/test_YCBV_stage2.py:
+    140-260, as one graph). Same input signature as stage 1; the output
+    poses are the refined ones (stage-1 poses included for diagnostics)."""
+    from dcl_net_tpu.models.refiner import refine_pose
+
+    def serve(feats, voxel_idx, obj_idx):
+        batch = {"inp": {"feats": feats, "voxel_idx": voxel_idx}}
+        obs = model.apply(variables, batch, train=False,
+                          method=model.encode_observed)
+        tmp = jax.tree.map(lambda x: x[obj_idx], tmp_cache)
+        out = model.apply(variables, obs, tmp, train=False,
+                          method=model.fuse)
+        rot, trans = refine_pose(
+            refiner.apply, refiner_variables,
+            out["points_inp"], out["F_Xo_p"], out["conf"],
+            out["rot_pred"], out["trans_pred"], iterations,
+        )
+        return {
+            "rot_pred": rot,
+            "trans_pred": trans,
+            "conf": out["conf"],
+            "rot_stage1": out["rot_pred"],
+            "trans_stage1": out["trans_pred"],
+        }
+
+    return serve
+
+
+def export_serve_stage2(
+    model,
+    variables,
+    refiner,
+    refiner_variables,
+    bank: Dict[str, object],
+    batch_size: int,
+    iterations: int = 2,
+    platforms: Optional[Sequence[str]] = None,
+) -> bytes:
+    """Export the refined (stage-1 + stage-2) serving function."""
+    tmp_cache = encode_template_cache(model, variables, bank)
+    serve = make_serve_fn_stage2(model, variables, refiner,
+                                 refiner_variables, tmp_cache, iterations)
+    n = int(model.n_inp)
+    specs = (
+        jax.ShapeDtypeStruct((batch_size, n, 7), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, n, 3), jnp.int32),
+        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+    )
+    exported = jax.export.export(
+        jax.jit(serve),
+        platforms=list(platforms) if platforms is not None else None,
+    )(*specs)
+    return exported.serialize()
+
+
 def load_serve(path_or_bytes):
     """Deserialize a serving artifact; returns the callable.
 

@@ -47,10 +47,19 @@ def _bank_dataset(cfg):
 def main(argv=None):
     from dcl_net_tpu.tools.common import base_parser, build_model, init
 
-    parser = base_parser("DCL-Net TPU stage-1 serving export")
+    parser = base_parser("DCL-Net TPU serving export (stage 1 or refined)")
     parser.add_argument("--out", required=True, help="artifact output path")
     parser.add_argument("--batch", default=None, type=int,
                         help="serving batch size (default: eval bs)")
+    parser.add_argument(
+        "--checkpoint_refiner", default=None,
+        help="stage-2 refiner checkpoint; exports the full refined "
+        "pipeline (stage-1 + iterative refiner in one graph)")
+    parser.add_argument("--stage2", action="store_true",
+                        help="export the refined pipeline even without a "
+                        "refiner checkpoint (smoke mode: init weights)")
+    parser.add_argument("--iteration", default=2, type=int,
+                        help="refine iterations baked into a stage-2 artifact")
     parser.add_argument(
         "--platforms", default=None,
         help="comma-separated lowering platforms, e.g. 'tpu' or 'cpu,tpu'; "
@@ -72,7 +81,7 @@ def main(argv=None):
         cfg.model.voxelize_impl = "scatter"
     model = build_model(cfg)
 
-    from dcl_net_tpu.serving import export_serve
+    from dcl_net_tpu.serving import export_serve, export_serve_stage2
     from dcl_net_tpu.train.checkpoints import (
         convert_reference_state_dict,
         load_checkpoint,
@@ -105,11 +114,46 @@ def main(argv=None):
     bs = args.batch or int(
         cfg.get("hyper_dataloader_test", {}).get("bs", 512)
         if cfg.get("hyper_dataloader_test") else 512)
-    data = export_serve(model, variables, bank, bs, platforms=platforms)
+
+    stage2 = args.stage2 or args.checkpoint_refiner is not None
+    if stage2:
+        from dcl_net_tpu.models.refiner import Refiner
+
+        refiner = Refiner(n_inp=int(cfg.model.n_inp))
+        if args.checkpoint_refiner:
+            if args.checkpoint_refiner.endswith((".pth", ".pt")):
+                refiner_vars = convert_reference_state_dict(
+                    load_torch_checkpoint(args.checkpoint_refiner))
+                refiner_vars.pop("batch_stats", None)
+            else:
+                payload = load_checkpoint(args.checkpoint_refiner)
+                refiner_vars = {"params": payload["params"]}
+        else:
+            import jax.numpy as jnp
+
+            n = int(model.n_inp)
+            m = int(model.n_tmp)
+            # F_Xo_p is architecture-fixed at 256ch (models/dcl_net.py:226),
+            # so the refiner input is 3 + 256 = 259 for every config
+            init_inp = {
+                "input_features": jnp.zeros((1, n, 259), jnp.float32),
+                "conf": jnp.zeros((1, n + m), jnp.float32),
+            }
+            refiner_vars = jax.jit(refiner.init)(
+                jax.random.PRNGKey(int(cfg.get("rd_seed", 1))), init_inp)
+            logger.warning("no --checkpoint_refiner: exporting freshly "
+                           "initialized refiner weights (smoke mode)")
+        data = export_serve_stage2(
+            model, variables, refiner, refiner_vars, bank, bs,
+            iterations=int(args.iteration), platforms=platforms)
+        kind = f"refined (x{args.iteration})"
+    else:
+        data = export_serve(model, variables, bank, bs, platforms=platforms)
+        kind = "stage-1"
     with open(args.out, "wb") as f:
         f.write(data)
     logger.warning(
-        f"exported stage-1 serving artifact: {args.out} "
+        f"exported {kind} serving artifact: {args.out} "
         f"({len(data) / 1e6:.1f} MB, batch={bs}, platforms={platforms})")
     return args.out
 

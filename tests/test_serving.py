@@ -13,12 +13,15 @@ import jax.numpy as jnp
 import pytest
 
 from dcl_net_tpu.models import DCLNet
+from dcl_net_tpu.models.refiner import Refiner
 from dcl_net_tpu.ops.voxelize import point_to_voxel_index
 from dcl_net_tpu.serving import (
     encode_template_cache,
     export_serve,
+    export_serve_stage2,
     load_serve,
     make_serve_fn,
+    make_serve_fn_stage2,
 )
 
 GRID = (16, 16, 16)
@@ -98,7 +101,48 @@ def test_export_artifact_is_weight_dependent(tmp_path):
                   - np.asarray(o2["trans_pred"])).max() > 1e-6
 
 
-def test_export_cli_smoke(tmp_path):
+def test_export_stage2_roundtrip_matches_direct(tmp_path):
+    """The refined artifact must equal the in-process stage-1+refiner
+    chain, and actually move the pose away from the stage-1 output."""
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+    refiner = Refiner(n_inp=N)
+    rng_np = np.random.RandomState(7)
+    init_inp = {
+        "input_features": jnp.asarray(
+            rng_np.randn(1, N, 259).astype(np.float32)),
+        "conf": jnp.asarray(rng_np.randn(1, 2 * N).astype(np.float32)),
+    }
+    refiner_vars = jax.jit(refiner.init)(jax.random.PRNGKey(7), init_inp)
+
+    tmp_cache = encode_template_cache(model, variables, bank)
+    direct = jax.jit(make_serve_fn_stage2(
+        model, variables, refiner, refiner_vars, tmp_cache, iterations=2))(
+        jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx))
+
+    data = export_serve_stage2(model, variables, refiner, refiner_vars,
+                               bank, batch_size=4, iterations=2,
+                               platforms=["cpu"])
+    serve = load_serve(data)
+    got = serve(jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx))
+
+    assert set(got) == {"rot_pred", "trans_pred", "conf",
+                        "rot_stage1", "trans_stage1"}
+    for k in got:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(direct[k]), atol=1e-6,
+            err_msg=k)
+    # the refiner (random weights) must have composed a non-identity delta
+    assert np.abs(np.asarray(got["rot_pred"])
+                  - np.asarray(got["rot_stage1"])).max() > 1e-6
+    # refined rotations stay valid (ortho9d_to_matrix output composed twice)
+    R = np.asarray(got["rot_pred"], np.float64)
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), R.shape),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("stage2", [False, True])
+def test_export_cli_smoke(tmp_path, stage2):
     from dcl_net_tpu.tools import export as export_tool
 
     out = tmp_path / "smoke.stablehlo"
@@ -106,6 +150,7 @@ def test_export_cli_smoke(tmp_path):
         "--config", "configs/config_synthetic_smoke.yaml",
         "--out", str(out),
         "--batch", "2",
+        *(["--stage2", "--iteration", "1"] if stage2 else []),
         "--log_root", str(tmp_path / "log"),
         "--override",
         "model.n_inp=64", "model.n_tmp=64",
