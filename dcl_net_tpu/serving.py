@@ -20,6 +20,11 @@ is packaged as ONE self-contained artifact:
   needs jax with a matching backend — no dcl_net_tpu code, config, or
   checkpoint.
 
+Multi-device: passing ``mesh=`` to the export functions (CLI:
+``--n_devices``) produces a data-parallel artifact — batch sharded over a
+1-D mesh, weights replicated by GSPMD — that must be served on the same
+device count.
+
 Platform notes: ``platforms=("tpu",)`` bakes the production fast paths
 (Pallas matmul voxelizer / fused interp under bf16) into a TPU-only
 artifact; a portable artifact (``("cpu", "tpu")``) must be exported from a
@@ -74,27 +79,50 @@ def make_serve_fn(model, variables, tmp_cache):
     return serve
 
 
+def _export(serve, model, batch_size, platforms, mesh):
+    """jax.export the serving closure; with a mesh, the artifact is a
+    data-parallel program (batch sharded over the mesh, weights replicated
+    by GSPMD) that must be loaded on the same device count."""
+    n = int(model.n_inp)
+    if mesh is not None:
+        from dcl_net_tpu.parallel.mesh import batch_sharding
+
+        shard = batch_sharding(mesh)
+        if batch_size % mesh.size:
+            raise ValueError(
+                f"batch {batch_size} not divisible by mesh size {mesh.size}")
+        specs = (
+            jax.ShapeDtypeStruct((batch_size, n, 7), jnp.float32, sharding=shard),
+            jax.ShapeDtypeStruct((batch_size, n, 3), jnp.int32, sharding=shard),
+            jax.ShapeDtypeStruct((batch_size,), jnp.int32, sharding=shard),
+        )
+        fn = jax.jit(serve, in_shardings=(shard,) * 3,
+                     out_shardings=shard)
+    else:
+        specs = (
+            jax.ShapeDtypeStruct((batch_size, n, 7), jnp.float32),
+            jax.ShapeDtypeStruct((batch_size, n, 3), jnp.int32),
+            jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+        )
+        fn = jax.jit(serve)
+    exported = jax.export.export(
+        fn, platforms=list(platforms) if platforms is not None else None,
+    )(*specs)
+    return exported.serialize()
+
+
 def export_serve(
     model,
     variables,
     bank: Dict[str, object],
     batch_size: int,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> bytes:
     """Export the stage-1 serving function to portable StableHLO bytes."""
     tmp_cache = encode_template_cache(model, variables, bank)
     serve = make_serve_fn(model, variables, tmp_cache)
-    n = int(model.n_inp)
-    specs = (
-        jax.ShapeDtypeStruct((batch_size, n, 7), jnp.float32),
-        jax.ShapeDtypeStruct((batch_size, n, 3), jnp.int32),
-        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
-    )
-    exported = jax.export.export(
-        jax.jit(serve),
-        platforms=list(platforms) if platforms is not None else None,
-    )(*specs)
-    return exported.serialize()
+    return _export(serve, model, batch_size, platforms, mesh)
 
 
 def make_serve_fn_stage2(model, variables, refiner, refiner_variables,
@@ -137,22 +165,13 @@ def export_serve_stage2(
     batch_size: int,
     iterations: int = 2,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
 ) -> bytes:
     """Export the refined (stage-1 + stage-2) serving function."""
     tmp_cache = encode_template_cache(model, variables, bank)
     serve = make_serve_fn_stage2(model, variables, refiner,
                                  refiner_variables, tmp_cache, iterations)
-    n = int(model.n_inp)
-    specs = (
-        jax.ShapeDtypeStruct((batch_size, n, 7), jnp.float32),
-        jax.ShapeDtypeStruct((batch_size, n, 3), jnp.int32),
-        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
-    )
-    exported = jax.export.export(
-        jax.jit(serve),
-        platforms=list(platforms) if platforms is not None else None,
-    )(*specs)
-    return exported.serialize()
+    return _export(serve, model, batch_size, platforms, mesh)
 
 
 def load_serve(path_or_bytes):

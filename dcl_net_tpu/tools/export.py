@@ -45,7 +45,12 @@ def _bank_dataset(cfg):
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_model, init
+    from dcl_net_tpu.tools.common import (
+        base_parser,
+        build_mesh,
+        build_model,
+        init,
+    )
 
     parser = base_parser("DCL-Net TPU serving export (stage 1 or refined)")
     parser.add_argument("--out", required=True, help="artifact output path")
@@ -115,6 +120,10 @@ def main(argv=None):
         cfg.get("hyper_dataloader_test", {}).get("bs", 512)
         if cfg.get("hyper_dataloader_test") else 512)
 
+    # --n_devices > 1: a data-parallel artifact (batch sharded over a 1-D
+    # mesh) that must be served on the same device count
+    mesh = build_mesh(cfg, args)
+
     stage2 = args.stage2 or args.checkpoint_refiner is not None
     if stage2:
         from dcl_net_tpu.models.refiner import Refiner
@@ -145,16 +154,18 @@ def main(argv=None):
                            "initialized refiner weights (smoke mode)")
         data = export_serve_stage2(
             model, variables, refiner, refiner_vars, bank, bs,
-            iterations=int(args.iteration), platforms=platforms)
+            iterations=int(args.iteration), platforms=platforms, mesh=mesh)
         kind = f"refined (x{args.iteration})"
     else:
-        data = export_serve(model, variables, bank, bs, platforms=platforms)
+        data = export_serve(model, variables, bank, bs,
+                            platforms=platforms, mesh=mesh)
         kind = "stage-1"
     with open(args.out, "wb") as f:
         f.write(data)
     logger.warning(
         f"exported {kind} serving artifact: {args.out} "
-        f"({len(data) / 1e6:.1f} MB, batch={bs}, platforms={platforms})")
+        f"({len(data) / 1e6:.1f} MB, batch={bs}, platforms={platforms}"
+        f"{', mesh=' + str(mesh.size) if mesh is not None else ''})")
     return args.out
 
 

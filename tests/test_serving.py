@@ -141,6 +141,35 @@ def test_export_stage2_roundtrip_matches_direct(tmp_path):
                                atol=1e-4)
 
 
+def test_export_sharded_mesh_matches_single_device():
+    """Data-parallel serving artifact: exported over a 4-device mesh, the
+    program must load on the same topology and reproduce the single-device
+    artifact's outputs (weights replicated by GSPMD, batch sharded)."""
+    from dcl_net_tpu.parallel.mesh import make_mesh, shard_batch
+
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+    mesh = make_mesh(4)
+
+    single = export_serve(model, variables, bank, 4, platforms=["cpu"])
+    sharded = export_serve(model, variables, bank, 4, platforms=["cpu"],
+                           mesh=mesh)
+
+    ref = load_serve(single)(jnp.asarray(feats), jnp.asarray(vi),
+                             jnp.asarray(obj_idx))
+    args = shard_batch(
+        (jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx)), mesh)
+    got = load_serve(sharded)(*args)
+    for k in ref:
+        # sharded outputs: assembling the global array crosses devices
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k)
+
+    # an off-mesh batch size must be rejected at export time
+    with pytest.raises(ValueError, match="not divisible"):
+        export_serve(model, variables, bank, 6, platforms=["cpu"],
+                     mesh=mesh)
+
+
 @pytest.mark.parametrize("stage2", [False, True])
 def test_export_cli_smoke(tmp_path, stage2):
     from dcl_net_tpu.tools import export as export_tool
@@ -150,7 +179,10 @@ def test_export_cli_smoke(tmp_path, stage2):
         "--config", "configs/config_synthetic_smoke.yaml",
         "--out", str(out),
         "--batch", "2",
-        *(["--stage2", "--iteration", "1"] if stage2 else []),
+        # the stage-2 variant also covers the CLI mesh plumbing
+        # (data-parallel artifact over 2 of the 8 virtual CPU devices)
+        *(["--stage2", "--iteration", "1", "--n_devices", "2"]
+          if stage2 else []),
         "--log_root", str(tmp_path / "log"),
         "--override",
         "model.n_inp=64", "model.n_tmp=64",
@@ -171,7 +203,13 @@ def test_export_cli_smoke(tmp_path, stage2):
          rng.rand(2, 64, 3).astype(np.float32) - 0.5, pts], -1)
     vi = np.asarray(point_to_voxel_index(
         jnp.asarray(pts), (0.024,) * 3, (16,) * 3))
-    out = serve(jnp.asarray(feats), jnp.asarray(vi),
-                np.zeros((2,), np.int32))
+    args = (jnp.asarray(feats), jnp.asarray(vi), np.zeros((2,), np.int32))
+    if stage2:
+        # the mesh artifact must be fed mesh-sharded inputs (its program
+        # was exported for exactly 2 devices)
+        from dcl_net_tpu.parallel.mesh import make_mesh, shard_batch
+
+        args = shard_batch(args, make_mesh(2))
+    out = serve(*args)
     assert np.isfinite(np.asarray(out["rot_pred"])).all()
     assert np.isfinite(np.asarray(out["trans_pred"])).all()
