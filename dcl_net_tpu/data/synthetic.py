@@ -59,6 +59,7 @@ class SyntheticPoseDataset:
         length: int = 10000,
         seed: int = 0,
         noise: float = 0.002,
+        cad_dir: Optional[str] = None,
     ):
         self.n_points = n_points
         self.unit = np.asarray(unit_voxel_extent, np.float32)
@@ -70,10 +71,36 @@ class SyntheticPoseDataset:
         self.cad_points = []
         self.cad_colors = []
         self.sym_flags = []
+        imagenet_mean = np.array([0.485, 0.456, 0.406], np.float32)
+        if cad_dir is not None:
+            # real CAD clouds (*_pc.ply, xyz+rgb — e.g. the 21 YCB-V object
+            # clouds): synthetic poses/views on true object geometry. Sym
+            # flags follow the YCB-V table when the class count matches.
+            import glob
+            import os
+
+            from dcl_net_tpu.data.ply import read_ply
+            from dcl_net_tpu.data.ycbv import SYMMETRY_OBJ_IDX
+
+            paths = sorted(glob.glob(os.path.join(cad_dir, "*_pc.ply")))
+            if not paths:
+                raise FileNotFoundError(f"no *_pc.ply in {cad_dir}")
+            paths = paths[:n_objects] if n_objects else paths
+            for i, p in enumerate(paths):
+                ply = read_ply(p)
+                pts = ply["points"].astype(np.float32)
+                cols = ply.get(
+                    "colors", np.full_like(pts, 0.5)).astype(np.float32)
+                self.cad_points.append(pts)
+                self.cad_colors.append(cols - imagenet_mean)
+                self.sym_flags.append(
+                    1.0 if (len(paths) == 21 and i in SYMMETRY_OBJ_IDX)
+                    else 0.0)
+            return
         for i in range(n_objects):
             pts, cols = _sample_superquadric(rng, 4096)
             self.cad_points.append(pts)
-            self.cad_colors.append(cols - np.array([0.485, 0.456, 0.406], np.float32))
+            self.cad_colors.append(cols - imagenet_mean)
             self.sym_flags.append(1.0 if rng.rand() < sym_ratio else 0.0)
 
     def __len__(self) -> int:

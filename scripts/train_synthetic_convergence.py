@@ -44,6 +44,10 @@ def main():
                     help="banked-template training arm")
     ap.add_argument("--auc-bar", type=float, default=90.0)
     ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--cad-dir", default=None,
+                    help="directory of real CAD clouds (*_pc.ply, e.g. the "
+                    "21 YCB-V objects) to train/eval on instead of "
+                    "procedural shapes; --classes 0 = all clouds found")
     ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args()
 
@@ -69,12 +73,14 @@ def main():
 
     train_ds = SyntheticPoseDataset(
         n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
-        length=8192, seed=0,
+        length=8192, seed=0, cad_dir=args.cad_dir,
     )
     heldout_ds = SyntheticPoseDataset(
         n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
         length=512, seed=1234,  # held-out: same objects, unseen poses/views
+        cad_dir=args.cad_dir,
     )
+    C = len(train_ds.cad_points)  # cad_dir may define the class count
     loader = BatchLoader(train_ds, batch_size=args.batch, num_workers=4,
                          seed=0, to_jax=True)
 

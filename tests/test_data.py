@@ -334,3 +334,29 @@ def test_ycbv_frames_pins_reference_batching_protocol(ycbv_dirs):
     # per-frame multisets in frame order (3 instances per frame here)
     assert sorted(stream[:3]) == sorted(want[:3])
     assert sorted(stream[3:6]) == sorted(want[3:6])
+
+
+def test_synthetic_dataset_on_real_cad_dir(ycbv_dirs):
+    """cad_dir mode: synthetic poses/views on on-disk CAD clouds (the mode
+    the convergence run uses with the 21 real YCB-V objects)."""
+    from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
+
+    root, assets = ycbv_dirs
+    ds = SyntheticPoseDataset(
+        n_objects=0, n_points=128,
+        unit_voxel_extent=(0.006,) * 3, voxel_num_limit=(64,) * 3,
+        length=8, cad_dir=os.path.join(assets, "CADs"),
+    )
+    assert len(ds.cad_points) >= 1
+    s = ds[0]
+    assert s["inp_feats"].shape == (128, 7)
+    assert s["tmp_feats"].shape == (128, 7)
+    assert np.isfinite(s["inp_feats"]).all()
+    # observed = CAD under the gt pose (+noise): residual must be small
+    obs = s["inp_feats"][:, 4:7]
+    cano = (obs - s["trans_gt"]) @ s["rot_gt"]
+    cad = ds.cad_points[int(s["obj_idx"])]
+    d = np.sqrt(((cano[:, None] - cad[None]) ** 2).sum(-1)).min(1)
+    assert float(d.mean()) < 0.01
+    bank = ds.template_bank()
+    assert bank["feats"].shape == (len(ds.cad_points), 128, 7)
