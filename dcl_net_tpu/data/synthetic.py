@@ -82,10 +82,13 @@ class SyntheticPoseDataset:
             from dcl_net_tpu.data.ply import read_ply
             from dcl_net_tpu.data.ycbv import SYMMETRY_OBJ_IDX
 
-            paths = sorted(glob.glob(os.path.join(cad_dir, "*_pc.ply")))
-            if not paths:
+            all_paths = sorted(glob.glob(os.path.join(cad_dir, "*_pc.ply")))
+            if not all_paths:
                 raise FileNotFoundError(f"no *_pc.ply in {cad_dir}")
-            paths = paths[:n_objects] if n_objects else paths
+            # sym flags index the FULL sorted class list, so detect the
+            # YCB-V set before any truncation
+            is_ycbv = len(all_paths) == 21
+            paths = all_paths[:n_objects] if n_objects else all_paths
             for i, p in enumerate(paths):
                 ply = read_ply(p)
                 pts = ply["points"].astype(np.float32)
@@ -94,8 +97,7 @@ class SyntheticPoseDataset:
                 self.cad_points.append(pts)
                 self.cad_colors.append(cols - imagenet_mean)
                 self.sym_flags.append(
-                    1.0 if (len(paths) == 21 and i in SYMMETRY_OBJ_IDX)
-                    else 0.0)
+                    1.0 if (is_ycbv and i in SYMMETRY_OBJ_IDX) else 0.0)
             return
         for i in range(n_objects):
             pts, cols = _sample_superquadric(rng, 4096)
@@ -117,8 +119,8 @@ class SyntheticPoseDataset:
         col = self.cad_colors[obj]
         n = self.n_points
 
-        # template sample
-        tsel = rng.choice(len(cad), n, replace=False)
+        # template sample (on-disk clouds may be smaller than n)
+        tsel = rng.choice(len(cad), n, replace=n > len(cad))
         tmp_pts, tmp_col = cad[tsel], col[tsel]
 
         # observed: random pose + half-space visibility + noise
@@ -158,7 +160,7 @@ class SyntheticPoseDataset:
         for obj in range(len(self.cad_points)):
             rng = np.random.RandomState(obj)
             sel = rng.choice(len(self.cad_points[obj]), self.n_points,
-                             replace=False)
+                             replace=self.n_points > len(self.cad_points[obj]))
             pts = self.cad_points[obj][sel]
             col = self.cad_colors[obj][sel]
             ones = np.ones((self.n_points, 1), np.float32)

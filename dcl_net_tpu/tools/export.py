@@ -18,14 +18,17 @@ import os
 
 def _bank_dataset(cfg):
     """The dataset whose CAD template bank gets baked into the artifact —
-    same selection the eval CLIs make."""
+    same selection the eval CLIs make. Differs from
+    tools/common.build_train_dataset on purpose: it prefers the TEST
+    dataset config and sizes template clouds by tmp_size (the bank is
+    [C, n_tmp, 7]), not input_size."""
     ds_cfg = cfg.get("hyper_dataset_test") or cfg.hyper_dataset_train
     name = ds_cfg.name
     if name == "synthetic":
         from dcl_net_tpu.data.synthetic import SyntheticPoseDataset
 
         return SyntheticPoseDataset(
-            n_points=int(ds_cfg.input_size),
+            n_points=int(ds_cfg.get("tmp_size", ds_cfg.input_size)),
             unit_voxel_extent=tuple(ds_cfg.unit_voxel_extent),
             voxel_num_limit=tuple(int(v) for v in ds_cfg.voxel_num_limit),
             length=int(ds_cfg.get("length", 64)),
@@ -104,10 +107,17 @@ def main(argv=None):
     else:
         # export-from-init: lets the artifact pipeline be exercised without
         # a checkpoint (smoke/testing); a real deployment passes one.
-        from dcl_net_tpu.data.schema import make_batch
+        # Shape-only zero batch: works for every dataset type (frame-based
+        # test datasets don't yield flat make_batch samples).
+        import jax.numpy as jnp
 
-        ds = _bank_dataset(cfg)
-        batch = make_batch([ds[0], ds[1]]).to_dict()
+        n, m = int(model.n_inp), int(model.n_tmp)
+        batch = {
+            "inp": {"feats": jnp.zeros((2, n, 7), jnp.float32),
+                    "voxel_idx": jnp.zeros((2, n, 3), jnp.int32)},
+            "tmp": {"feats": jnp.zeros((2, m, 7), jnp.float32),
+                    "voxel_idx": jnp.zeros((2, m, 3), jnp.int32)},
+        }
         variables = jax.jit(model.init, static_argnames=("train",))(
             jax.random.PRNGKey(int(cfg.get("rd_seed", 1))), batch,
             train=False)

@@ -59,14 +59,16 @@ def main():
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.PRNGKey(0), batch, train=False
     )
-    obj = np.asarray(batch["labels"]["obj_idx"])
+    # build the bank from the POOL (guaranteed to hold every class even
+    # when batch_size < n_classes drops the coverage-extension samples)
+    by_class = {}
+    for s in pool:
+        by_class.setdefault(int(s["obj_idx"]), s)
     bank = {
-        "feats": np.stack([
-            np.asarray(batch["tmp"]["feats"][int(np.argmax(obj == c))])
-            for c in range(n_classes)]),
-        "voxel_idx": np.stack([
-            np.asarray(batch["tmp"]["voxel_idx"][int(np.argmax(obj == c))])
-            for c in range(n_classes)]),
+        "feats": np.stack([by_class[c]["tmp_feats"]
+                           for c in range(n_classes)]),
+        "voxel_idx": np.stack([by_class[c]["tmp_voxel_idx"]
+                               for c in range(n_classes)]),
     }
 
     feats = batch["inp"]["feats"]

@@ -4,7 +4,8 @@ eval-as-integration-test role of the reference's scripts/script_eval_*.sh).
 
 Trains stage-1 DCLNet from scratch on synthetic scenes at the FLAGSHIP
 shapes (64^3 grid, 1024-pt pairs, bf16+Pallas production config), evaluates
-ADD-S AUC on a HELD-OUT synthetic split (different seed) against the
+ADD-S AUC on a HELD-OUT synthetic split (same objects, sample indices
+past the training range) against the
 identity-pose baseline, then trains the stage-2 refiner on top of the
 frozen stage-1 model and verifies it refines further.
 
@@ -71,14 +72,18 @@ def main():
     grid, unit, n = (64, 64, 64), (0.006, 0.006, 0.006), 1024
     C = args.classes
 
+    TRAIN_LEN, HELD_LEN = 8192, 512
     train_ds = SyntheticPoseDataset(
         n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
-        length=8192, seed=0, cad_dir=args.cad_dir,
+        length=TRAIN_LEN, seed=0, cad_dir=args.cad_dir,
     )
+    # held-out split: SAME objects, pose/view/visibility streams drawn from
+    # indices PAST the training range (per-sample RNG is index-keyed, so a
+    # different constructor seed would not change poses — and with cad_dir
+    # it would change nothing at all)
     heldout_ds = SyntheticPoseDataset(
         n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
-        length=512, seed=1234,  # held-out: same objects, unseen poses/views
-        cad_dir=args.cad_dir,
+        length=TRAIN_LEN + HELD_LEN, seed=0, cad_dir=args.cad_dir,
     )
     C = len(train_ds.cad_points)  # cad_dir may define the class count
     loader = BatchLoader(train_ds, batch_size=args.batch, num_workers=4,
@@ -116,7 +121,8 @@ def main():
     model_points = np.stack([heldout_ds.model_points(c, 256) for c in range(C)])
     eval_batches = [
         jax.tree.map(jnp.asarray, make_batch(
-            [heldout_ds[k * 128 + i] for i in range(128)]).to_dict())
+            [heldout_ds[TRAIN_LEN + k * 128 + i] for i in range(128)]
+        ).to_dict())
         for k in range(4)
     ]
 
