@@ -82,8 +82,30 @@ def make_serve_fn(model, variables, tmp_cache):
 def _export(serve, model, batch_size, platforms, mesh):
     """jax.export the serving closure; with a mesh, the artifact is a
     data-parallel program (batch sharded over the mesh, weights replicated
-    by GSPMD) that must be loaded on the same device count."""
+    by GSPMD) that must be loaded on the same device count.
+
+    ``batch_size=None`` exports a BATCH-POLYMORPHIC artifact (symbolic
+    batch dimension via jax.export shape polymorphism): one artifact serves
+    any batch size, recompiling per size at the serving site. Requires the
+    portable XLA paths (exact interp + scatter voxelize — the Pallas
+    kernels compute their grids from concrete shapes) and no mesh (a
+    sharded program needs a concrete divisible batch)."""
     n = int(model.n_inp)
+    if batch_size is None:
+        if mesh is not None:
+            raise ValueError("polymorphic batch cannot be combined with a "
+                             "mesh-sharded artifact")
+        (B,) = jax.export.symbolic_shape("B")
+        specs = (
+            jax.ShapeDtypeStruct((B, n, 7), jnp.float32),
+            jax.ShapeDtypeStruct((B, n, 3), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+        )
+        exported = jax.export.export(
+            jax.jit(serve),
+            platforms=list(platforms) if platforms is not None else None,
+        )(*specs)
+        return exported.serialize()
     if mesh is not None:
         from dcl_net_tpu.parallel.mesh import batch_sharding
 
@@ -115,11 +137,14 @@ def export_serve(
     model,
     variables,
     bank: Dict[str, object],
-    batch_size: int,
+    batch_size: Optional[int],
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
 ) -> bytes:
-    """Export the stage-1 serving function to portable StableHLO bytes."""
+    """Export the stage-1 serving function to portable StableHLO bytes.
+
+    ``batch_size=None`` -> batch-polymorphic artifact (see :func:`_export`).
+    """
     tmp_cache = encode_template_cache(model, variables, bank)
     serve = make_serve_fn(model, variables, tmp_cache)
     return _export(serve, model, batch_size, platforms, mesh)
@@ -162,12 +187,15 @@ def export_serve_stage2(
     refiner,
     refiner_variables,
     bank: Dict[str, object],
-    batch_size: int,
+    batch_size: Optional[int],
     iterations: int = 2,
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
 ) -> bytes:
-    """Export the refined (stage-1 + stage-2) serving function."""
+    """Export the refined (stage-1 + stage-2) serving function.
+
+    ``batch_size=None`` -> batch-polymorphic artifact (see :func:`_export`).
+    """
     tmp_cache = encode_template_cache(model, variables, bank)
     serve = make_serve_fn_stage2(model, variables, refiner,
                                  refiner_variables, tmp_cache, iterations)

@@ -57,8 +57,11 @@ def main(argv=None):
 
     parser = base_parser("DCL-Net TPU serving export (stage 1 or refined)")
     parser.add_argument("--out", required=True, help="artifact output path")
-    parser.add_argument("--batch", default=None, type=int,
-                        help="serving batch size (default: eval bs)")
+    parser.add_argument("--batch", default=None,
+                        help="serving batch size (default: eval bs), or "
+                        "'poly' for a batch-polymorphic artifact (one "
+                        "artifact serves any batch size; forces the "
+                        "portable XLA paths, incompatible with --n_devices)")
     parser.add_argument(
         "--checkpoint_refiner", default=None,
         help="stage-2 refiner checkpoint; exports the full refined "
@@ -82,9 +85,12 @@ def main(argv=None):
         [p.strip() for p in args.platforms.split(",") if p.strip()]
         if args.platforms else [jax.default_backend()]
     )
-    if len(platforms) > 1 or platforms != [jax.default_backend()]:
-        # Pallas fast paths only lower for TPU from a TPU backend; force the
-        # portable XLA paths for cross-platform artifacts.
+    polymorphic = args.batch == "poly"
+    if (len(platforms) > 1 or platforms != [jax.default_backend()]
+            or polymorphic):
+        # Pallas fast paths only lower for TPU from a TPU backend, and
+        # compute their grids from concrete shapes; force the portable XLA
+        # paths for cross-platform or batch-polymorphic artifacts.
         cfg.model.interp_mode = "exact"
         cfg.model.voxelize_impl = "scatter"
     model = build_model(cfg)
@@ -126,9 +132,12 @@ def main(argv=None):
 
     dataset = _bank_dataset(cfg)
     bank = dataset.template_bank()
-    bs = args.batch or int(
-        cfg.get("hyper_dataloader_test", {}).get("bs", 512)
-        if cfg.get("hyper_dataloader_test") else 512)
+    if polymorphic:
+        bs = None
+    else:
+        bs = int(args.batch) if args.batch else int(
+            cfg.get("hyper_dataloader_test", {}).get("bs", 512)
+            if cfg.get("hyper_dataloader_test") else 512)
 
     # --n_devices > 1: a data-parallel artifact (batch sharded over a 1-D
     # mesh) that must be served on the same device count
@@ -174,7 +183,8 @@ def main(argv=None):
         f.write(data)
     logger.warning(
         f"exported {kind} serving artifact: {args.out} "
-        f"({len(data) / 1e6:.1f} MB, batch={bs}, platforms={platforms}"
+        f"({len(data) / 1e6:.1f} MB, "
+        f"batch={'poly' if bs is None else bs}, platforms={platforms}"
         f"{', mesh=' + str(mesh.size) if mesh is not None else ''})")
     return args.out
 

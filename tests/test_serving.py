@@ -141,6 +141,33 @@ def test_export_stage2_roundtrip_matches_direct(tmp_path):
                                atol=1e-4)
 
 
+def test_export_polymorphic_batch_matches_fixed(tmp_path):
+    """batch_size=None exports ONE batch-polymorphic artifact (symbolic
+    batch dim): it must reproduce the fixed-batch artifact's outputs at
+    multiple batch sizes, and reject the mesh combination."""
+    from dcl_net_tpu.parallel.mesh import make_mesh
+
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+
+    poly = load_serve(export_serve(model, variables, bank, batch_size=None,
+                                   platforms=["cpu"]))
+    for b in (1, 4):
+        fixed = load_serve(export_serve(model, variables, bank,
+                                        batch_size=b, platforms=["cpu"]))
+        args = (jnp.asarray(feats[:b]), jnp.asarray(vi[:b]),
+                jnp.asarray(obj_idx[:b]))
+        ref, got = fixed(*args), poly(*args)
+        assert got["rot_pred"].shape == (b, 3, 3)
+        for k in ref:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(ref[k]), atol=1e-6,
+                err_msg=f"batch {b}: {k}")
+
+    with pytest.raises(ValueError, match="polymorphic"):
+        export_serve(model, variables, bank, batch_size=None,
+                     platforms=["cpu"], mesh=make_mesh(4))
+
+
 def test_export_sharded_mesh_matches_single_device():
     """Data-parallel serving artifact: exported over a 4-device mesh, the
     program must load on the same topology and reproduce the single-device
