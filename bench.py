@@ -132,9 +132,15 @@ def main():
 
     # Template-feature cache: encode each class's CAD template once
     # (the production eval path; reference recomputes it per frame).
-    obj = np.asarray(batch["labels"]["obj_idx"])
+    # Build the bank from the POOL (class-complete by construction above) —
+    # the eval batch alone may miss classes at small BENCH_BATCH, and
+    # np.argmax(obj == c) returns a silently-wrong 0 for an absent class.
+    by_class = {}
+    for s in pool:
+        by_class.setdefault(int(s["obj_idx"]), s)
     tmp_bank = {"tmp": {
-        k: jnp.stack([batch["tmp"][k][int(np.argmax(obj == c))] for c in range(n_classes)])
+        k: jnp.stack([jnp.asarray(by_class[c][f"tmp_{k}"])
+                      for c in range(n_classes)])
         for k in ("feats", "voxel_idx")
     }}
     tmp_cache = jax.jit(

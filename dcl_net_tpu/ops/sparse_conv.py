@@ -194,7 +194,13 @@ def _ref_max_pool_bwd(kernel, stride, padding, zero_init, res, cts):
                 dout_up = uptap(dout, a, bb, cc)
                 din = din + jnp.where(feats == out_up, dout_up, 0.0)
     din = din * m[..., None]
-    return din, jnp.zeros_like(mask)
+    # non-float masks (bool/int occupancy) take a float0 cotangent per
+    # custom_vjp rules (same pattern as pallas_voxelize.py's voxel_idx)
+    if jnp.issubdtype(mask.dtype, jnp.inexact):
+        dmask = jnp.zeros_like(mask)
+    else:
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    return din, dmask
 
 
 _ref_max_pool.defvjp(_ref_max_pool_fwd, _ref_max_pool_bwd)

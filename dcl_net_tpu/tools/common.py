@@ -92,6 +92,11 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
     for the conv/matmul-heavy feature path (geometry stays f32 either way);
     bf16 measures ~17% faster eval on v5e.
     """
+    # deferred: tools configure the jax env (cache dir, platform) in init()
+    # before any jax import
+    import jax
+    import jax.numpy as jnp
+
     import dcl_net_tpu.models  # noqa: F401  (populates the registry)
 
     if dtype is None:
@@ -101,11 +106,7 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
             # step; pose drift vs f32 bounded ~20x under metric thresholds,
             # tests/test_model.py). Geometry/SVD stays f32 HIGHEST either
             # way. Opt out with model.compute_dtype: float32.
-            import jax
-
             name = "bfloat16" if jax.default_backend() == "tpu" else "float32"
-        import jax.numpy as jnp
-
         dtype = {"bfloat16": jnp.bfloat16, "float32": None}[str(name)]
     model_cls = MODELS.get(cfg.model.get("name", cfg.get("model_name", "DCL_Net")))
     m = cfg.model
@@ -123,8 +124,6 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
         # training too: 590 vs 655 ms/step at B=32, docs/PERF.md) on TPU;
         # on CPU the kernels run in interpret mode (slow), so tests and
         # CPU smoke runs keep the exact XLA path.
-        import jax
-
         mode = "pallas" if jax.default_backend() == "tpu" else "exact"
     kwargs["interp_mode"] = str(mode)
     vox = m.get("voxelize_impl")
@@ -136,11 +135,7 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
         # kernel needs HIGHEST-precision matmuls (55 ms — slower than the
         # scatter), and on CPU interpret-mode kernels are slow, so both keep
         # the exact scatter.
-        import jax
-
         on_tpu = jax.default_backend() == "tpu"
-        import jax.numpy as jnp
-
         vox = "matmul" if on_tpu and dtype == jnp.bfloat16 else "scatter"
     kwargs["voxelize_impl"] = str(vox)
     return model_cls(

@@ -137,6 +137,21 @@ def test_sparse_max_pool_ignores_empty(rng):
     assert (out_t[nm == 1] < 0).all()
 
 
+def test_sparse_max_pool_grad_with_bool_mask(rng):
+    """custom_vjp must hand non-float masks a float0 cotangent — a bool
+    occupancy mask (valid public-API usage) must differentiate cleanly and
+    match the float-mask gradient."""
+    feats, mask = _sparse_grid(rng, b=1, d=4, c=2, n_occ=5)
+    f = jnp.asarray(feats * mask[..., None])
+
+    def loss(x, m):
+        return sparse_max_pool(x, m, 3, 2)[0].sum()
+
+    g_bool = jax.grad(loss)(f, jnp.asarray(mask, bool))
+    g_float = jax.grad(loss)(f, jnp.asarray(mask, np.float32))
+    np.testing.assert_allclose(np.asarray(g_bool), np.asarray(g_float))
+
+
 def test_masked_batch_norm_stats(rng):
     feats, mask = _sparse_grid(rng, b=2, d=8, c=5, n_occ=30)
     mean, var = masked_batch_norm_stats(jnp.asarray(feats), jnp.asarray(mask))
