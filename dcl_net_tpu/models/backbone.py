@@ -94,13 +94,23 @@ class MultiScalePointFeatures(nn.Module):
         self,
         points: jnp.ndarray,  # [B, N, 3] metric
         pyramid: List[Tuple[jnp.ndarray, jnp.ndarray]],
-    ) -> jnp.ndarray:
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (interp_feats [B, N, 480], overflow [B] bool).
+
+        overflow flags samples whose occupied-voxel count exceeds a level's
+        static extraction capacity — those samples silently dropped their
+        highest-index voxels and the pose may be degraded. The reference's
+        spconv crashes on rulebook overflow (libs/spconv/include/spconv/
+        spconv_ops.h assertions); we degrade but SIGNAL, threading the flag
+        through model outputs, Solver metrics, Evaluator results, and
+        serving artifacts."""
         from dcl_net_tpu.ops.grid_interp import local_grid_interpolate
 
         unit = np.asarray(self.unit_voxel_extent, np.float32)
         limit = np.asarray(self.voxel_num_limit, np.float32)
         offset = -0.5 * unit * limit  # reference Modules.py:234
         feats_all = []
+        overflow = jnp.zeros(points.shape[0], bool)
         for level, (feats, mask) in enumerate(pyramid):
             scale = float(self.scale_list[level])
             if self.interp_mode == "local":
@@ -110,7 +120,27 @@ class MultiScalePointFeatures(nn.Module):
             else:
                 grid_n = int(np.prod(feats.shape[1:4]))
                 cap = min(int(self.capacities[level]), grid_n)
-                use_pallas = self.interp_mode == "pallas" and points.shape[1] % 128 == 0
+                if cap < grid_n:  # a full-grid budget can never overflow
+                    occ = jnp.sum(
+                        mask.reshape(mask.shape[0], -1) > 0, axis=1
+                    )
+                    overflow = overflow | (occ > cap)
+                pallas_ok = points.shape[1] % 128 == 0
+                if self.interp_mode == "pallas_fused" and pallas_ok:
+                    # single-stage variant: the interp kernel consumes the
+                    # compaction raw buffer directly (ops/pallas_fused.py)
+                    from dcl_net_tpu.ops.pallas_fused import (
+                        pallas_compact_interpolate,
+                    )
+
+                    interp = pallas_compact_interpolate(
+                        feats, mask, points, cap,
+                        tuple(float(u) * scale for u in unit),
+                        tuple(float(o) for o in offset),
+                    )
+                    feats_all.append(interp)
+                    continue
+                use_pallas = self.interp_mode == "pallas" and pallas_ok
                 if use_pallas:
                     # fast path for BOTH eval and training: stream compaction
                     # (custom-VJP) + fused 3-NN interp (custom-VJP)
@@ -125,4 +155,4 @@ class MultiScalePointFeatures(nn.Module):
                     centers = voxel_centers(coords, unit, scale, offset)
                     interp = nearest_neighbor_interpolate(points, centers, vfeats, vmask)
             feats_all.append(interp)
-        return jnp.concatenate(feats_all, axis=-1)
+        return jnp.concatenate(feats_all, axis=-1), overflow

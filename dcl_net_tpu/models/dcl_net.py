@@ -185,16 +185,18 @@ class DCLNet(nn.Module):
         mask = (count > 0).astype(feats.dtype)
         pyramid = backbone(grid, mask, train)
         points = feats[..., 4:7]
-        return points, point_feats(points, pyramid)
+        interp, overflow = point_feats(points, pyramid)
+        return points, interp, overflow
 
     def encode_observed(self, batch: Dict[str, Any], train: bool = False) -> Dict[str, jnp.ndarray]:
         """Observed branch: backbone + interp + the four Xc disengage heads."""
-        points, f_xc = self._encode(
+        points, f_xc, overflow = self._encode(
             self.backbone_inp, self.point_feats_inp,
             batch["inp"]["feats"], batch["inp"]["voxel_idx"], train,
         )
         return {
             "points": points,
+            "overflow": overflow,
             "p1": self.disengage_Xc_p1(f_xc, train),
             "m1": self.disengage_Xc_m1(f_xc, train),
             "p2": self.disengage_Xc_p2(f_xc, train),
@@ -205,12 +207,13 @@ class DCLNet(nn.Module):
         """Template branch: backbone + interp + the four Yo disengage heads.
 
         Depends only on the CAD cloud -> cacheable per class at eval."""
-        points, f_yo = self._encode(
+        points, f_yo, overflow = self._encode(
             self.backbone_tmp, self.point_feats_tmp,
             batch["tmp"]["feats"], batch["tmp"]["voxel_idx"], train,
         )
         return {
             "points": points,
+            "overflow": overflow,
             "p1": self.disengage_Yo_p1(f_yo, train),
             "m1": self.disengage_Yo_m1(f_yo, train),
             "p2": self.disengage_Yo_p2(f_yo, train),
@@ -253,10 +256,25 @@ class DCLNet(nn.Module):
         )
         trans_pred = self.regressor_trans(f_p_wei[:, None, :], train)[:, 0, :]
 
+        # Capacity-overflow signal: True where either branch dropped occupied
+        # voxels past its static extraction budget (see backbone.py). Older
+        # cached encodings may lack the key; default to all-clear.
+        ovf_o = obs.get("overflow")
+        ovf_t = tmp.get("overflow")
+        if ovf_o is None and ovf_t is None:
+            overflow = jnp.zeros(rot_pred.shape[0], bool)
+        elif ovf_o is None:
+            overflow = ovf_t
+        elif ovf_t is None:
+            overflow = ovf_o
+        else:
+            overflow = ovf_o | ovf_t
+
         return {
             "trans_pred": trans_pred,            # [B, 3]
             "rot_pred": rot_pred,                # [B, 3, 3]
             "conf": conf[..., 0],                # [B, N+M]
+            "overflow": overflow,                # [B] bool, capacity overflow
             "F_Xo_p": f_xo_p,                    # [B, N, 256]
             "Xo_pred": xo_pred,                  # [B, N, 3]
             "Yc_pred": yc_pred,                  # [B, M, 3]

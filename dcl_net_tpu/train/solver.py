@@ -184,6 +184,15 @@ def make_train_step(model, tx, loss_fn, skip_nonfinite: bool = True,
                     variables, batch, train=True, mutable=["batch_stats"],
                 )
             losses = loss_fn(pred, batch)
+            if "overflow" in pred:
+                # fraction of samples whose occupied voxels exceeded a
+                # static extraction capacity (silently degraded — see
+                # models/backbone.py); surfaced per step so a mis-sized
+                # capacity config is visible in the training log
+                losses = dict(losses)
+                losses["overflow_frac"] = jnp.mean(
+                    pred["overflow"].astype(jnp.float32)
+                )
             return losses["loss_all"], (losses, mut["batch_stats"])
 
         (loss, (losses, new_stats)), grads = jax.value_and_grad(compute, has_aux=True)(state.params)
@@ -403,6 +412,16 @@ class Solver:
         def consume(pend, t_start, t_excl=0.0):
             pmetrics, pdata, pstep, pi = pend
             info = {k: float(v) for k, v in pmetrics.items()}  # forces completion
+            if info.get("overflow_frac", 0.0) > 0 and self.logger and \
+                    not getattr(self, "_warned_overflow", False):
+                self._warned_overflow = True
+                self.logger.warning(
+                    "capacity overflow: %.1f%% of this step's samples exceed "
+                    "a voxel-extraction budget (model.capacities) — their "
+                    "highest-index voxels were dropped; raise the capacities "
+                    "or shrink the inputs (warned once; overflow_frac tracks "
+                    "it per step)" % (100.0 * info["overflow_frac"])
+                )
             t_step = time.time() - t_start - t_excl
             info.update({"T_data": pdata, "T_step": t_step,
                          "lr": float(self.schedule(pstep - 1))})

@@ -92,6 +92,9 @@ def make_stage2_train_step(
             "loss_all": loss,
             "loss_last_iter": per_iter[-1],
             "grad_norm": optax.global_norm(grads),
+            # capacity-overflow fraction from the frozen stage-1 forward
+            # (see models/backbone.py / train/solver.py)
+            "overflow_frac": jnp.mean(out_main["overflow"].astype(jnp.float32)),
         }
         return new_state, metrics
 

@@ -732,7 +732,7 @@ def test_multiscale_interp_matches_reference_code(refmods):
         scale_list=(2, 4, 6, 8), capacities=(512, 64, 8, 1),
         interp_mode="exact",
     )
-    ours = msf.apply({}, jnp.asarray(pts), pyramid)
+    ours, _ = msf.apply({}, jnp.asarray(pts), pyramid)
 
     op = ref_mod.Ops_GetPointFeat_spconv(
         scale_lists=[2, 4, 6, 8], unit_voxel_extent=unit, voxel_num_limit=limit,
