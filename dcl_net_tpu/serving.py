@@ -34,10 +34,13 @@ model configured with the exact XLA paths (``interp_mode="exact"``,
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def encode_template_cache(model, variables, bank: Dict[str, object]):
@@ -74,6 +77,11 @@ def make_serve_fn(model, variables, tmp_cache):
             "rot_pred": out["rot_pred"],
             "trans_pred": out["trans_pred"],
             "conf": out["conf"],
+            # [B] bool: the sample's occupied voxels exceeded a static
+            # extraction capacity and were partially dropped — the pose may
+            # be degraded (models/backbone.py). The serving site should
+            # surface/requeue these rather than trust them silently.
+            "overflow": out["overflow"],
         }
 
     return serve
@@ -174,6 +182,7 @@ def make_serve_fn_stage2(model, variables, refiner, refiner_variables,
             "rot_pred": rot,
             "trans_pred": trans,
             "conf": out["conf"],
+            "overflow": out["overflow"],     # see make_serve_fn
             "rot_stage1": out["rot_pred"],
             "trans_stage1": out["trans_pred"],
         }
@@ -200,6 +209,135 @@ def export_serve_stage2(
     serve = make_serve_fn_stage2(model, variables, refiner,
                                  refiner_variables, tmp_cache, iterations)
     return _export(serve, model, batch_size, platforms, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Artifact bundles: fixed-batch fast artifacts + a poly catch-all
+# ---------------------------------------------------------------------------
+BUNDLE_MANIFEST = "manifest.json"
+
+
+def export_bundle(
+    model,
+    variables,
+    bank: Dict[str, object],
+    batch_sizes: Sequence[int] = (1, 16, 64, 512),
+    include_poly: bool = True,
+    poly_model=None,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, bytes]:
+    """Export a SET of serving artifacts: one fixed-batch artifact per size
+    in `batch_sizes` (these keep whatever fast paths `model` is configured
+    with — Pallas interp + matmul voxelizer in production) plus an optional
+    batch-polymorphic catch-all.
+
+    The poly artifact cannot carry the Pallas kernels (they compute their
+    grids from concrete shapes), so callers on the TPU fast-path config pass
+    `poly_model`: the same architecture configured with the portable XLA
+    paths (interp_mode="exact", voxelize_impl="scatter") — weights are
+    shared, only the op implementations differ. When `model` already uses
+    the portable paths, poly_model can be omitted.
+
+    Returns {name: serialized artifact bytes}; see save_bundle / BundleServer.
+    """
+    template_cache = encode_template_cache(model, variables, bank)
+    out: Dict[str, bytes] = {}
+    for b in batch_sizes:
+        serve = make_serve_fn(model, variables, template_cache)
+        out[f"b{int(b):05d}"] = _export(serve, model, int(b), platforms, None)
+    if include_poly:
+        pm = poly_model if poly_model is not None else model
+        cache = (template_cache if pm is model
+                 else encode_template_cache(pm, variables, bank))
+        serve = make_serve_fn(pm, variables, cache)
+        out["poly"] = _export(serve, pm, None, platforms, None)
+    return out
+
+
+def save_bundle(dirpath: str, artifacts: Dict[str, bytes]) -> str:
+    """Write a bundle directory: one .stablehlo per artifact + manifest.json
+    mapping names to files and batch sizes. Returns the manifest path."""
+    os.makedirs(dirpath, exist_ok=True)
+    manifest = {"artifacts": {}}
+    for name, data in artifacts.items():
+        fname = f"{name}.stablehlo"
+        with open(os.path.join(dirpath, fname), "wb") as f:
+            f.write(data)
+        manifest["artifacts"][name] = {
+            "file": fname,
+            "batch": None if name == "poly" else int(name[1:]),
+            "bytes": len(data),
+        }
+    mpath = os.path.join(dirpath, BUNDLE_MANIFEST)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return mpath
+
+
+class BundleServer:
+    """Serve ANY request size from an exported bundle.
+
+    Dispatch policy per request of n instances:
+    - pick the smallest fixed-batch artifact with B >= n and zero-pad the
+      tail (per-instance outputs are batch-independent in eval mode — BN
+      uses running stats, attention/confidence are within-sample — so
+      padding rows cannot perturb real rows);
+    - when n exceeds the largest fixed B, chunk by that B and recurse on the
+      remainder;
+    - with no fixed artifact at all, fall back to the poly artifact
+      (portable XLA paths, recompiled per distinct n at the serving site).
+
+    Artifacts deserialize lazily on first use; each fixed size compiles once.
+    """
+
+    def __init__(self, dirpath: str):
+        self.dirpath = dirpath
+        with open(os.path.join(dirpath, BUNDLE_MANIFEST)) as f:
+            manifest = json.load(f)
+        self._entries = manifest["artifacts"]
+        self.fixed_sizes = sorted(
+            e["batch"] for e in self._entries.values() if e["batch"]
+        )
+        self.has_poly = any(e["batch"] is None for e in self._entries.values())
+        self._fns: Dict[str, object] = {}
+
+    def _fn(self, name: str):
+        if name not in self._fns:
+            path = os.path.join(self.dirpath, self._entries[name]["file"])
+            self._fns[name] = load_serve(path)
+        return self._fns[name]
+
+    def __call__(self, feats, voxel_idx, obj_idx) -> Dict[str, np.ndarray]:
+        n = int(np.asarray(obj_idx).shape[0])
+        if not self.fixed_sizes:
+            if not self.has_poly:
+                raise RuntimeError("empty bundle")
+            return {k: np.asarray(v) for k, v in
+                    self._fn("poly")(feats, voxel_idx, obj_idx).items()}
+        feats = np.asarray(feats)
+        voxel_idx = np.asarray(voxel_idx)
+        obj_idx = np.asarray(obj_idx)
+        chunks = []
+        i = 0
+        while i < n:
+            rem = n - i
+            fit = [b for b in self.fixed_sizes if b >= rem]
+            b = fit[0] if fit else self.fixed_sizes[-1]
+            take = min(rem, b)
+
+            def pad(x):
+                if take == b:
+                    return x[i : i + take]
+                padded = np.zeros((b,) + x.shape[1:], x.dtype)
+                padded[:take] = x[i : i + take]
+                return padded
+
+            res = self._fn(f"b{b:05d}")(pad(feats), pad(voxel_idx), pad(obj_idx))
+            chunks.append({k: np.asarray(v)[:take] for k, v in res.items()})
+            i += take
+        if len(chunks) == 1:
+            return chunks[0]
+        return {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
 
 
 def load_serve(path_or_bytes):

@@ -56,7 +56,16 @@ def main(argv=None):
     )
 
     parser = base_parser("DCL-Net TPU serving export (stage 1 or refined)")
-    parser.add_argument("--out", required=True, help="artifact output path")
+    parser.add_argument("--out", default=None, help="artifact output path")
+    parser.add_argument(
+        "--bundle", default=None,
+        help="output DIRECTORY for an artifact bundle instead of one file: "
+        "fixed-batch fast-path artifacts (--bundle_batches) + a "
+        "batch-polymorphic catch-all, with a manifest; serve any request "
+        "size via serving.BundleServer (stage-1 only)")
+    parser.add_argument(
+        "--bundle_batches", default="1,16,64,512",
+        help="comma-separated fixed batch sizes for --bundle")
     parser.add_argument("--batch", default=None,
                         help="serving batch size (default: eval bs), or "
                         "'poly' for a batch-polymorphic artifact (one "
@@ -77,6 +86,8 @@ def main(argv=None):
         "default: current backend. Multi-platform artifacts require the "
         "portable XLA paths (exact interp + scatter voxelize).")
     args = parser.parse_args(argv)
+    if (args.out is None) == (args.bundle is None):
+        parser.error("exactly one of --out / --bundle is required")
     logger, cfg = init(args, "export")
 
     import jax
@@ -86,7 +97,8 @@ def main(argv=None):
         if args.platforms else [jax.default_backend()]
     )
     polymorphic = args.batch == "poly"
-    if (len(platforms) > 1 or platforms != [jax.default_backend()]
+    if args.bundle is None and (
+            len(platforms) > 1 or platforms != [jax.default_backend()]
             or polymorphic):
         # Pallas fast paths only lower for TPU from a TPU backend, and
         # compute their grids from concrete shapes; force the portable XLA
@@ -132,6 +144,36 @@ def main(argv=None):
 
     dataset = _bank_dataset(cfg)
     bank = dataset.template_bank()
+
+    if args.bundle:
+        if args.stage2 or args.checkpoint_refiner:
+            parser.error("--bundle currently exports the stage-1 pipeline")
+        from dcl_net_tpu.serving import export_bundle, save_bundle
+
+        sizes = [int(b) for b in args.bundle_batches.split(",") if b.strip()]
+        portable = (len(platforms) > 1
+                    or platforms != [jax.default_backend()])
+        if portable:
+            # cross-platform bundles cannot carry Pallas kernels anywhere
+            fast_model = model.clone(interp_mode="exact",
+                                     voxelize_impl="scatter")
+            poly_model = fast_model
+        else:
+            fast_model = model
+            # the poly catch-all always needs the portable XLA paths
+            poly_model = model.clone(interp_mode="exact",
+                                     voxelize_impl="scatter")
+        artifacts = export_bundle(
+            fast_model, variables, bank, batch_sizes=sizes,
+            include_poly=True, poly_model=poly_model, platforms=platforms)
+        mpath = save_bundle(args.bundle, artifacts)
+        total = sum(len(d) for d in artifacts.values())
+        logger.warning(
+            f"exported serving bundle: {args.bundle} "
+            f"({len(artifacts)} artifacts incl. poly, {total / 1e6:.1f} MB, "
+            f"batches={sizes}, platforms={platforms}); manifest: {mpath}")
+        return args.bundle
+
     if polymorphic:
         bs = None
     else:

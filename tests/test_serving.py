@@ -76,7 +76,7 @@ def test_export_roundtrip_matches_direct(tmp_path):
     serve = load_serve(str(path))
     got = serve(jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx))
 
-    assert set(got) == {"rot_pred", "trans_pred", "conf"}
+    assert set(got) == {"rot_pred", "trans_pred", "conf", "overflow"}
     assert got["rot_pred"].shape == (4, 3, 3)
     assert got["conf"].shape == (4, 2 * N)
     for k in got:
@@ -125,7 +125,7 @@ def test_export_stage2_roundtrip_matches_direct(tmp_path):
     serve = load_serve(data)
     got = serve(jnp.asarray(feats), jnp.asarray(vi), jnp.asarray(obj_idx))
 
-    assert set(got) == {"rot_pred", "trans_pred", "conf",
+    assert set(got) == {"rot_pred", "trans_pred", "conf", "overflow",
                         "rot_stage1", "trans_stage1"}
     for k in got:
         np.testing.assert_allclose(
@@ -240,3 +240,83 @@ def test_export_cli_smoke(tmp_path, stage2):
     out = serve(*args)
     assert np.isfinite(np.asarray(out["rot_pred"])).all()
     assert np.isfinite(np.asarray(out["trans_pred"])).all()
+
+
+def test_bundle_serves_any_request_size(tmp_path):
+    """export_bundle/save_bundle/BundleServer: any request size n is served
+    by padding into the smallest fitting fixed-batch artifact (or chunking
+    past the largest), and per-row outputs equal the direct forward at
+    exactly n — eval-mode rows are batch-independent, so padding is exact."""
+    from dcl_net_tpu.serving import BundleServer, export_bundle, save_bundle
+
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+    arts = export_bundle(model, variables, bank, batch_sizes=(2, 4),
+                         include_poly=True, platforms=["cpu"])
+    assert set(arts) == {"b00002", "b00004", "poly"}
+    bdir = str(tmp_path / "bundle")
+    save_bundle(bdir, arts)
+
+    server = BundleServer(bdir)
+    assert server.fixed_sizes == [2, 4]
+    assert server.has_poly
+
+    tmp_cache = encode_template_cache(model, variables, bank)
+    direct_fn = jax.jit(make_serve_fn(model, variables, tmp_cache))
+    for n in (1, 2, 3, 4, 5, 7):
+        idx = np.resize(np.arange(len(obj_idx)), n)
+        f, v, o = feats[idx], vi[idx], obj_idx[idx]
+        got = server(f, v, o)
+        ref = direct_fn(jnp.asarray(f), jnp.asarray(v), jnp.asarray(o))
+        assert got["rot_pred"].shape == (n, 3, 3)
+        assert got["overflow"].shape == (n,)
+        for k in ("rot_pred", "trans_pred", "conf"):
+            np.testing.assert_allclose(
+                got[k], np.asarray(ref[k]), atol=1e-5, err_msg=f"n={n} {k}")
+
+
+def test_bundle_poly_fallback_without_fixed_sizes(tmp_path):
+    from dcl_net_tpu.serving import BundleServer, export_bundle, save_bundle
+
+    model, variables, bank, feats, vi, obj_idx = _tiny_setup()
+    arts = export_bundle(model, variables, bank, batch_sizes=(),
+                         include_poly=True, platforms=["cpu"])
+    bdir = str(tmp_path / "poly_only")
+    save_bundle(bdir, arts)
+    server = BundleServer(bdir)
+    assert server.fixed_sizes == [] and server.has_poly
+    got = server(feats[:3], vi[:3], obj_idx[:3])
+    assert got["rot_pred"].shape == (3, 3, 3)
+    assert np.isfinite(got["trans_pred"]).all()
+
+
+def test_bundle_cli_smoke(tmp_path):
+    from dcl_net_tpu.serving import BundleServer
+    from dcl_net_tpu.tools import export as export_tool
+
+    bdir = export_tool.main([
+        "--config", "configs/config_synthetic_smoke.yaml",
+        "--bundle", str(tmp_path / "bundle"),
+        "--bundle_batches", "2,4",
+        "--log_root", str(tmp_path / "log"),
+        "--override",
+        "model.n_inp=64", "model.n_tmp=64",
+        "model.voxel_num_limit=[16,16,16]",
+        "model.unit_voxel_extent=[0.024,0.024,0.024]",
+        "model.capacities=[256,64,16,8]",
+        "hyper_dataset_train.input_size=64",
+        "hyper_dataset_train.tmp_size=64",
+        "hyper_dataset_train.voxel_num_limit=[16,16,16]",
+        "hyper_dataset_train.unit_voxel_extent=[0.024,0.024,0.024]",
+    ])
+    server = BundleServer(bdir)
+    assert server.fixed_sizes == [2, 4] and server.has_poly
+    rng = np.random.RandomState(0)
+    pts = (rng.rand(3, 64, 3).astype(np.float32) - 0.5) * 0.15
+    feats = np.concatenate(
+        [np.ones((3, 64, 1), np.float32),
+         rng.rand(3, 64, 3).astype(np.float32) - 0.5, pts], -1)
+    vi = np.asarray(point_to_voxel_index(
+        jnp.asarray(pts), (0.024,) * 3, (16,) * 3))
+    got = server(feats, vi, np.zeros((3,), np.int32))
+    assert got["rot_pred"].shape == (3, 3, 3)
+    assert np.isfinite(got["trans_pred"]).all()
