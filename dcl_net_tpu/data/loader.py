@@ -177,7 +177,47 @@ class BatchLoader(_PoolOwner):
         prefetch: int = 4,
         to_jax: bool = True,
         worker_type: str = "thread",
+        process_id: int = 0,
+        process_count: int = 1,
+        collate=None,
+        batch_transform=None,
+        samples_per_item: int = 1,
     ):
+        """samples_per_item: number of samples each dataset __getitem__
+        returns (as a list) — e.g. YCBVTrainDataset's raw-mode
+        samples_per_frame, which amortizes the per-frame PNG decode over
+        several instance draws. Each batch then pulls
+        batch_size/samples_per_item dataset indices and flattens.
+
+        collate(samples, pad_to) -> batch (default schema.make_batch's
+        PoseBatch; device-preprocess raw mode passes
+        device_preprocess.make_raw_batch). batch_transform(batch_dict) ->
+        batch_dict runs in the PRODUCER thread after collate — the
+        DevicePreprocessor hook dispatches its jitted graph there, so
+        device preprocessing overlaps the train step like any prefetch.
+
+        batch_size is the GLOBAL batch size. In a multi-host run
+        (process_count > 1) every host constructs the same seeded shuffle and
+        loads only ITS contiguous block of each global batch —
+        batch_size/process_count samples — which parallel/mesh.py's
+        shard_batch assembles into the global sharded array. Iteration
+        length, epoch boundaries, and mid-epoch resume counts are identical
+        on every host by construction (shared seed+epoch)."""
+        if batch_size % max(process_count, 1):
+            raise ValueError(
+                f"global batch size {batch_size} is not divisible by "
+                f"process_count {process_count}"
+            )
+        self.samples_per_item = max(int(samples_per_item), 1)
+        if (batch_size // max(process_count, 1)) % self.samples_per_item:
+            raise ValueError(
+                f"per-process batch {batch_size // max(process_count, 1)} "
+                f"is not divisible by samples_per_item {samples_per_item}"
+            )
+        self.process_id = int(process_id)
+        self.process_count = max(int(process_count), 1)
+        self.collate = collate
+        self.batch_transform = batch_transform
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -198,10 +238,11 @@ class BatchLoader(_PoolOwner):
         self.skip_next = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset)  # dataset items; each yields samples_per_item
+        items = self.batch_size // self.samples_per_item
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // items
+        return (n + items - 1) // items
 
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -213,7 +254,19 @@ class BatchLoader(_PoolOwner):
     def __iter__(self) -> Iterator:
         idx = self._indices()
         nb = len(self)
-        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+        # multi-host: this process decodes only its block of each global
+        # batch (rows [pid*local_bs, (pid+1)*local_bs) of batch i) — the
+        # global batch composition is identical to a single-process run.
+        # With samples_per_item > 1 the unit is dataset ITEMS (each worth
+        # samples_per_item samples).
+        local_bs = self.batch_size // self.process_count
+        items = self.batch_size // self.samples_per_item
+        local_items = local_bs // self.samples_per_item
+        lo = self.process_id * local_items
+        batches = [
+            idx[i * items + lo : i * items + lo + local_items]
+            for i in range(nb)
+        ]
         if self.skip_next:
             batches = batches[self.skip_next :]
             self.skip_next = 0
@@ -241,13 +294,21 @@ class BatchLoader(_PoolOwner):
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, b))
+                        if self.samples_per_item > 1:
+                            # each item is a LIST of samples (e.g. several
+                            # instance draws of one decoded frame)
+                            samples = [s for item in samples for s in item]
                         # all-invalid batches are yielded too (valid=0 rows
                         # -> zero-weight step): dropping them would
                         # desynchronize the consumed-batch count that
                         # mid-epoch resume replays
-                        batch = make_batch(samples, pad_to=self.batch_size)
-                        d = batch.to_dict()
-                        if self.to_jax:
+                        if self.collate is not None:
+                            d = self.collate(samples, pad_to=local_bs)
+                        else:
+                            d = make_batch(samples, pad_to=local_bs).to_dict()
+                        if self.batch_transform is not None:
+                            d = self.batch_transform(d)
+                        elif self.to_jax:
                             import jax.numpy as jnp
 
                             d = {

@@ -116,6 +116,21 @@ class YCBVTrainDataset:
         (self.class_names, self.rgb_cad, self.pc_cad, self.pc_cad_ds,
          self.radius) = _load_cads(cads, classes, self.n_tmp)
         self.min_pt = 50
+        # device-side preprocessing (opt-in, cfg.device_preprocess): emit RAW
+        # candidate pixels (depth u16 / row-col i16 / rgb u8, padded to
+        # device_cand_k) and let the jitted graph do lift/center/aug/filter/
+        # resample/assembly (data/device_preprocess.py) — the host tail
+        # drops from ~5 ms/sample to the pixel gather
+        self.raw_mode = bool(cfg.get("device_preprocess", False))
+        self.cand_k = int(cfg.get("device_cand_k", 8192))
+        # amortize the PNG decode (~10 ms/frame, the dominant host cost)
+        # over several instance draws of the SAME frame (raw mode only):
+        # __getitem__ returns a LIST of samples_per_frame raw samples and
+        # BatchLoader(samples_per_item=k) flattens them. Opt-in because
+        # same-frame samples are correlated within a batch (the reference
+        # draws one instance per frame per epoch).
+        self.samples_per_frame = (
+            int(cfg.get("samples_per_frame", 1)) if self.raw_mode else 1)
 
     def __len__(self):
         return len(self.list)
@@ -156,6 +171,17 @@ class YCBVTrainDataset:
         cam = self._intrinsics(path)
 
         mask_depth = depth != 0
+
+        if self.raw_mode:
+            # decode once, draw samples_per_frame instances from the frame
+            # (the decode is the dominant host cost; see device_preprocess)
+            out = [
+                self._draw_raw(img, depth, label, objs, meta, cam, mask_depth,
+                               rng)
+                for _ in range(self.samples_per_frame)
+            ]
+            return out if self.samples_per_frame > 1 else out[0]
+
         # random instance with enough pixels (reference :126-132)
         for _ in range(100):
             idx = rng.randint(0, len(objs))
@@ -222,6 +248,93 @@ class YCBVTrainDataset:
         return {
             "inp_feats": np.zeros((n, 7), np.float32),
             "inp_voxel_idx": np.zeros((n, 3), np.int32),
+            "tmp_feats": np.zeros((m, 7), np.float32),
+            "tmp_voxel_idx": np.zeros((m, 3), np.int32),
+            "rot_gt": np.zeros((3, 3), np.float32),
+            "trans_gt": np.zeros(3, np.float32),
+            "obj_idx": np.int32(-1), "sym_flag": np.float32(-1.0),
+            "valid": 0.0, "radius": np.float32(-1.0),
+        }
+
+    # ------------------------------------------------------------------
+    # raw-candidate mode for device-side preprocessing
+    # ------------------------------------------------------------------
+    def _draw_raw(self, img, depth, label, objs, meta, cam, mask_depth, rng):
+        """One instance draw -> raw candidate sample (reference instance
+        choice :126-132 + bbox snap; the numpy tail moves in-graph)."""
+        for _ in range(100):
+            idx = rng.randint(0, len(objs))
+            mask_label = label == objs[idx]
+            mask = mask_label & mask_depth
+            if mask.sum() > self.min_pt:
+                break
+        else:
+            return self._invalid_raw()
+        rmin, rmax, cmin, cmax = pp.get_bbox(mask_label)
+        target_r = meta["poses"][:, :, idx][:, 0:3].astype(np.float32)
+        target_t = meta["poses"][:, :, idx][:, 3].astype(np.float32)
+        r_loc, c_loc = np.nonzero(mask[rmin:rmax, cmin:cmax])
+        if len(r_loc) < self.min_pt:
+            return self._invalid_raw()
+        cam_scale = float(meta["factor_depth"][0][0])
+        return self._raw_sample(
+            img, depth, int(objs[idx]), rmin + r_loc, cmin + c_loc,
+            cam, cam_scale, target_r, target_t,
+        )
+
+    def _tmp_branch(self, obj_id: int):
+        model_points = (self.pc_cad[obj_id] / 1000.0).astype(np.float32)
+        return pp.assemble_features(
+            model_points, self.rgb_cad[obj_id].astype(np.float32),
+            self.unit, self.total, self.limit,
+        )
+
+    def _raw_sample(self, img, depth, obj_id, rows, cols, cam, cam_scale,
+                    target_r, target_t):
+        """Raw candidate pixels for the device preprocessing graph
+        (data/device_preprocess.py): depth u16 / row-col i16 / rgb u8 at the
+        masked crop pixels, padded to cand_k. The lift/center/aug/filter/
+        resample/assembly that __getitem__ otherwise does in numpy
+        (reference YCBV/dataloader_train_YCBV.py:150-205) runs in-graph."""
+        k = self.cand_k
+        n = len(rows)
+        if n > k:
+            # rare (cand_k=8192 vs typical 2-20k mask pixels only for very
+            # close objects): thin the candidate pool uniformly
+            sel = np.random.choice(n, k, replace=False)
+            rows, cols = rows[sel], cols[sel]
+            n = k
+        cand_depth = np.zeros(k, np.uint16)
+        cand_rc = np.zeros((k, 2), np.int16)
+        cand_rgb = np.zeros((k, 3), np.uint8)
+        cand_depth[:n] = depth[rows, cols]
+        cand_rc[:n, 0] = rows
+        cand_rc[:n, 1] = cols
+        cand_rgb[:n] = img[rows, cols]
+        feats_tmp, vidx_tmp = self._tmp_branch(obj_id)
+        return {
+            "cand_depth": cand_depth, "cand_rc": cand_rc,
+            "cand_rgb": cand_rgb, "n_cand": np.int32(n),
+            "cam": np.asarray(
+                [cam["cx"], cam["cy"], cam["fx"], cam["fy"], cam_scale],
+                np.float32),
+            "tmp_feats": feats_tmp, "tmp_voxel_idx": vidx_tmp,
+            "rot_gt": target_r, "trans_gt": target_t,
+            "obj_idx": np.int32(obj_id - 1),
+            "sym_flag": np.float32(
+                1.0 if (obj_id - 1) in SYMMETRY_OBJ_IDX else 0.0),
+            "valid": 1.0,
+            "radius": np.float32(self.radius[obj_id]),
+        }
+
+    def _invalid_raw(self):
+        k, m = self.cand_k, self.n_tmp
+        return {
+            "cand_depth": np.zeros(k, np.uint16),
+            "cand_rc": np.zeros((k, 2), np.int16),
+            "cand_rgb": np.zeros((k, 3), np.uint8),
+            "n_cand": np.int32(0),
+            "cam": np.asarray([1.0, 1.0, 1.0, 1.0, 1.0], np.float32),
             "tmp_feats": np.zeros((m, 7), np.float32),
             "tmp_voxel_idx": np.zeros((m, 3), np.int32),
             "rot_gt": np.zeros((3, 3), np.float32),

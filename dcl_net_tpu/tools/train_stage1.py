@@ -38,8 +38,42 @@ def main(argv=None):
     logger.info("=> creating model ...")
     model = build_model(cfg)
     dataset = build_train_dataset(cfg)
+    collate = transform = None
+    if bool(cfg.hyper_dataset_train.get("device_preprocess", False)):
+        # opt-in device-side preprocessing (SURVEY §7 step 4): the dataset
+        # emits raw candidate pixels and the lift/center/aug/filter/
+        # resample/assembly runs as one jitted graph per batch in the
+        # loader's producer thread (data/device_preprocess.py)
+        if not getattr(dataset, "raw_mode", False):
+            raise ValueError(
+                "hyper_dataset_train.device_preprocess requires a dataset "
+                "with raw-candidate support (ycbv_train)")
+        from dcl_net_tpu.data.device_preprocess import (
+            DevicePreprocessor, make_raw_batch,
+        )
+
+        collate = make_raw_batch
+        transform = DevicePreprocessor(
+            n_points=int(cfg.hyper_dataset_train.input_size),
+            unit_voxel_extent=tuple(cfg.hyper_dataset_train.unit_voxel_extent),
+            voxel_num_limit=tuple(
+                int(v) for v in cfg.hyper_dataset_train.voxel_num_limit),
+            augment=True, min_points=50,
+            seed=int(cfg.get("rd_seed", 1)),
+        )
+        logger.warning(
+            "device-side preprocessing: lift/aug/filter/resample in-graph "
+            f"(cand_k={dataset.cand_k})")
     loader = BatchLoader(
         dataset,
+        collate=collate,
+        batch_transform=transform,
+        # raw mode can amortize the frame decode over several instance
+        # draws (cfg hyper_dataset_train.samples_per_frame)
+        samples_per_item=getattr(dataset, "samples_per_frame", 1),
+        # multi-host: each process loads its block of the global batch
+        process_id=jax.process_index(),
+        process_count=jax.process_count(),
         batch_size=int(cfg.hyper_dataloader_train.bs),
         shuffle=bool(cfg.hyper_dataloader_train.get("shuffle", True)),
         drop_last=bool(cfg.hyper_dataloader_train.get("drop_last", True)),

@@ -66,6 +66,39 @@ def main():
         print(f"raw __getitem__: {raw_dt*1e3:.1f} ms/sample "
               f"({1/raw_dt:.1f} samples/s single-core)")
 
+        # device-preprocess raw mode: host does decode + mask/bbox + pixel
+        # gather only; lift/aug/filter/resample/assembly run in-graph
+        # (data/device_preprocess.py). This is the HOST cost that bounds
+        # loader throughput — the device graph overlaps the train step.
+        ds_dev = YCBVTrainDataset(
+            Config({**cfg.to_dict(), "device_preprocess": True}),
+            root, assets_dir=assets)
+        for i in range(min(len(ds_dev), 8)):
+            ds_dev[i]  # warm page cache for this dataset object too
+        t0 = time.perf_counter()
+        for i in range(n_raw):
+            ds_dev[i % len(ds_dev)]
+        dev_dt = (time.perf_counter() - t0) / n_raw
+        print(f"raw __getitem__ [device_preprocess]: {dev_dt*1e3:.1f} "
+              f"ms/sample ({1/dev_dt:.1f} samples/s single-core; "
+              f"{raw_dt/dev_dt:.2f}x the numpy-path host cost)")
+
+        # + samples_per_frame: amortize the (dominant) PNG decode over
+        # several instance draws per frame
+        for spf in (2, 4):
+            ds_spf = YCBVTrainDataset(
+                Config({**cfg.to_dict(), "device_preprocess": True,
+                        "samples_per_frame": spf}),
+                root, assets_dir=assets)
+            t0 = time.perf_counter()
+            for i in range(n_raw):
+                ds_spf[i % len(ds_spf)]
+            spf_dt = (time.perf_counter() - t0) / (n_raw * spf)
+            print(f"raw __getitem__ [device_preprocess, samples_per_frame="
+                  f"{spf}]: {spf_dt*1e3:.1f} ms/sample "
+                  f"({1/spf_dt:.1f} samples/s single-core; "
+                  f"{raw_dt/spf_dt:.2f}x the numpy-path host cost)")
+
         if len(ds) < args.batch:
             print(f"WARNING: len(dataset)={len(ds)} < batch={args.batch}; "
                   "drop_last yields zero batches — lower --batch or raise "
