@@ -35,6 +35,17 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "tools/train_YCBV_stage1.py:251-252); default: cfg.parallel."
         "n_devices, else 1 (no mesh)",
     )
+    parser.add_argument(
+        "--coordinator", default=None,
+        help="multi-host: jax.distributed coordinator address "
+        "(host:port). Requires --num_hosts/--host_id on platforms without "
+        "auto-detection; the mesh then spans every host's devices and each "
+        "host loads its block of the global batch (parallel/mesh.py)",
+    )
+    parser.add_argument("--num_hosts", default=None, type=int,
+                        help="multi-host: total process count")
+    parser.add_argument("--host_id", default=None, type=int,
+                        help="multi-host: this process's index")
     return parser
 
 
@@ -43,6 +54,17 @@ def init(args, tool_name: str) -> Tuple[object, Config]:
     # compiles take minutes via remote-compile) — the eval CLIs previously
     # paid that on every invocation
     import jax
+
+    # multi-host handshake FIRST: jax.distributed must initialize before any
+    # backend touch (SURVEY.md §2.3 "jax.distributed init + GSPMD mesh")
+    if getattr(args, "coordinator", None):
+        from dcl_net_tpu.parallel.mesh import init_distributed
+
+        init_distributed(
+            args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
 
     jax.config.update(
         "jax_compilation_cache_dir",
