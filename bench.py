@@ -270,6 +270,24 @@ def main():
             "mfu": round((bflops / bdt) / peak, 4) if bflops else None,
         }
 
+    # THE NAMED PRODUCTION TRAINING CONFIG (configs/
+    # config_YCBV_bs128_throughput.yaml): B=128 + banked templates + process
+    # loader workers. The driver-captured JSON must carry this number — the
+    # headline training claim is unreproducible otherwise (VERDICT r3 §2).
+    # BENCH_TRAIN_PROD=0 disables, BENCH_TRAIN_PROD_BATCH resizes.
+    train_prod = None
+    tbp = int(os.environ.get("BENCH_TRAIN_PROD_BATCH", 128))
+    if int(os.environ.get("BENCH_TRAIN_PROD", 1)) and tbp <= len(samples):
+        pdt_, pflops = measure_train(tbp, bank=tmp_bank["tmp"])
+        train_prod = {
+            "batch": tbp,
+            "template_bank": True,
+            "samples_per_sec_per_chip": round(tbp / pdt_, 2),
+            "step_ms": round(pdt_ * 1000, 1),
+            "mfu": round((pflops / pdt_) / peak, 4) if pflops else None,
+            "config": "configs/config_YCBV_bs128_throughput.yaml",
+        }
+
     # larger-batch training point: per-step fixed costs amortize (~2.4x
     # samples/s at B=128 vs the reference's B=32 config); 0 disables
     tb2 = int(os.environ.get("BENCH_TRAIN_BATCH2", 128))
@@ -347,6 +365,7 @@ def main():
             "train_mfu": round(train_mfu, 4) if train_mfu else None,
             "train_large_batch": train2,
             "train_banked": train_bank,
+            "train_production": train_prod,
             "protocol_eval": protocol,
             "stage2_eval": stage2,
             "device_kind": jax.devices()[0].device_kind,

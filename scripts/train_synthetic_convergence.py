@@ -50,6 +50,13 @@ def main():
                     "21 YCB-V objects) to train/eval on instead of "
                     "procedural shapes; --classes 0 = all clouds found")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument(
+        "--protocol", default="adds_auc", choices=["adds_auc", "add_0.1d"],
+        help="eval protocol: YCBV-style ADD-S AUC (default) or the "
+        "LineMOD ADD(S)<0.1*diameter success rate (reference "
+        "tools/test_LM.py:68-76,123-144) — trains under the LM StepLR "
+        "schedule and scores sym classes with chamfer through the real "
+        "Evaluator")
     args = ap.parse_args()
 
     import jax
@@ -93,10 +100,16 @@ def main():
         unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n, n_tmp=n,
         interp_mode="pallas", dtype=jnp.bfloat16,  # production config
     )
-    cfg = Config({"optimizer": {"type": "Adam", "lr": args.lr,
-                                "betas": [0.5, 0.999], "eps": 1e-6},
-                  "clip_percentile": 50})
-    tx, _ = build_optimizer(cfg)
+    cfg_d = {"optimizer": {"type": "Adam", "lr": args.lr,
+                           "betas": [0.5, 0.999], "eps": 1e-6},
+             "clip_percentile": 50}
+    if args.protocol == "add_0.1d":
+        # the LM training schedule shape (reference configs/config_LM.yaml:
+        # StepLR gamma 0.5), compressed so ~2 decays land inside the run
+        cfg_d["lr_scheduler"] = {"type": "StepLR", "step_size": 20,
+                                 "gamma": 0.5}
+    cfg = Config(cfg_d)
+    tx, _ = build_optimizer(cfg, steps_per_epoch=max(len(loader), 1))
 
     bank = train_ds.template_bank() if hasattr(train_ds, "template_bank") else None
     if bank is None:  # synthetic: build the bank from one sample per class
@@ -126,33 +139,70 @@ def main():
         for k in range(4)
     ]
 
+    # protocol plumbing: ADD-S AUC (YCBV) or ADD(S)<0.1d success (LM)
+    protocol_kw = {}
+    metric_key, metric_scale = "auc_mean", 1.0
+    sym_ids = []
+    diams = None
+    if args.protocol == "add_0.1d":
+        # per-class diameters (max pairwise distance over a subsample),
+        # pre-scaled by 0.1 like the reference init (tools/test_LM.py:74)
+        rs = np.random.RandomState(0)
+        diams = []
+        for c in range(C):
+            p = np.asarray(train_ds.cad_points[c], np.float32)
+            sub = p[rs.choice(len(p), min(len(p), 512), replace=False)]
+            d2 = ((sub[None] - sub[:, None]) ** 2).sum(-1)
+            diams.append(0.1 * float(np.sqrt(d2.max())))
+        sym_ids = [c for c, f in enumerate(train_ds.sym_flags) if f > 0]
+        protocol_kw = dict(diameters=diams, sym_class_ids=sym_ids)
+        metric_key, metric_scale = "success_mean", 100.0
+        print(f"add_0.1d protocol: {len(sym_ids)} sym classes {sym_ids}, "
+              f"0.1*diam {['%.3f' % d for d in diams]}", flush=True)
+
     # ONE evaluator reused across evals: update_variables swaps weights and
     # re-encodes the template cache without re-tracing the eval graph — a
     # fresh Evaluator per eval would re-jit everything each time
     evaluator = Evaluator(
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
-        model_points, protocol="adds_auc", template_bank=bank,
+        model_points, protocol=args.protocol, template_bank=bank,
+        **protocol_kw,
     )
 
     def eval_auc(variables):
         evaluator.update_variables(variables)
-        return evaluator.evaluate(eval_batches)["auc_mean"]
+        return float(evaluator.evaluate(eval_batches)[metric_key]) * metric_scale
 
-    # identity-pose baseline on the same split (rot=I, trans=0)
+    # identity-pose baseline on the same split (rot=I, trans=0), scored
+    # under the SAME protocol (ADD for non-sym / chamfer for sym in LM mode)
+    from dcl_net_tpu.eval.metrics import add_batch, success_at_diameter
+
     dists, clss = [], []
     for b in eval_batches:
         pts = jnp.asarray(model_points)[b["labels"]["obj_idx"]]
         bsz = pts.shape[0]
-        adds = add_s_batch(
-            pts,
-            jnp.tile(jnp.eye(3)[None], (bsz, 1, 1)), jnp.zeros((bsz, 3)),
-            b["labels"]["rot_gt"], b["labels"]["trans_gt"],
-        )
-        dists += [float(x) for x in np.asarray(adds)]
-        clss += [int(c) for c in np.asarray(b["labels"]["obj_idx"])]
-    identity_auc = per_class_auc_acc(dists, clss, num_classes=C)["auc_mean"]
-    print(f"identity-pose baseline ADD-S AUC: {identity_auc:.2f}", flush=True)
+        eye = jnp.tile(jnp.eye(3)[None], (bsz, 1, 1))
+        zero = jnp.zeros((bsz, 3))
+        adds = np.asarray(add_s_batch(
+            pts, eye, zero, b["labels"]["rot_gt"], b["labels"]["trans_gt"]))
+        cls_np = np.asarray(b["labels"]["obj_idx"])
+        if args.protocol == "add_0.1d":
+            add = np.asarray(add_batch(
+                pts, eye, zero, b["labels"]["rot_gt"], b["labels"]["trans_gt"]))
+            use_adds = np.isin(cls_np, np.asarray(sym_ids, np.int64))
+            dist = np.where(use_adds, adds, add)
+        else:
+            dist = adds
+        dists += [float(x) for x in dist]
+        clss += [int(c) for c in cls_np]
+    if args.protocol == "add_0.1d":
+        identity_auc = success_at_diameter(dists, clss, diams)[
+            "success_mean"] * 100.0
+    else:
+        identity_auc = per_class_auc_acc(dists, clss, num_classes=C)["auc_mean"]
+    print(f"identity-pose baseline [{args.protocol}]: {identity_auc:.2f}",
+          flush=True)
 
     # ---- stage-1 training ----
     t0 = time.time()
@@ -203,11 +253,13 @@ def main():
 
     ev2 = Stage2Evaluator(
         model, variables, refiner, {"params": rstate.params}, model_points,
-        iterations=2, protocol="adds_auc", template_bank=bank,
+        iterations=2, protocol=args.protocol, template_bank=bank,
+        **protocol_kw,
     )
-    stage2_auc = ev2.evaluate(eval_batches)["auc_mean"]
+    stage2_auc = float(ev2.evaluate(eval_batches)[metric_key]) * metric_scale
 
     result = {
+        "protocol": args.protocol,
         "config": ("banked-template" if args.bank else "per-instance"),
         "steps": args.steps, "batch": args.batch,
         "identity_auc": identity_auc,
