@@ -121,8 +121,12 @@ class YCBVTrainDataset:
         # device_cand_k) and let the jitted graph do lift/center/aug/filter/
         # resample/assembly (data/device_preprocess.py) — the host tail
         # drops from ~5 ms/sample to the pixel gather
-        self.raw_mode = bool(cfg.get("device_preprocess", False))
-        self.cand_k = int(cfg.get("device_cand_k", 8192))
+        # cfg may be a Config or any attribute bag (the golden tests pass a
+        # SimpleNamespace); optional keys go through getattr-style lookup
+        _get = (cfg.get if hasattr(cfg, "get")
+                else lambda k, d=None: getattr(cfg, k, d))
+        self.raw_mode = bool(_get("device_preprocess", False))
+        self.cand_k = int(_get("device_cand_k", 8192))
         # amortize the PNG decode (~10 ms/frame, the dominant host cost)
         # over several instance draws of the SAME frame (raw mode only):
         # __getitem__ returns a LIST of samples_per_frame raw samples and
@@ -130,7 +134,7 @@ class YCBVTrainDataset:
         # same-frame samples are correlated within a batch (the reference
         # draws one instance per frame per epoch).
         self.samples_per_frame = (
-            int(cfg.get("samples_per_frame", 1)) if self.raw_mode else 1)
+            int(_get("samples_per_frame", 1)) if self.raw_mode else 1)
 
     def __len__(self):
         return len(self.list)

@@ -117,7 +117,11 @@ class Evaluator:
             return {
                 "adds": adds, "add": add,
                 "rot_pred": out["rot_pred"], "trans_pred": out["trans_pred"],
-                "overflow": out["overflow"],
+                # DCLNet always emits the capacity-overflow flag; default to
+                # all-clear for custom/stub models without one
+                "overflow": out.get(
+                    "overflow",
+                    jnp.zeros(out["rot_pred"].shape[0], bool)),
             }
 
         self._tmp_cache = None
@@ -358,7 +362,9 @@ class Stage2Evaluator(Evaluator):
                 batch["labels"]["rot_gt"], batch["labels"]["trans_gt"],
             )
             return {"adds": adds, "add": add, "rot_pred": rot,
-                    "trans_pred": trans, "overflow": out["overflow"]}
+                    "trans_pred": trans,
+                    "overflow": out.get(
+                        "overflow", jnp.zeros(rot.shape[0], bool))}
 
         jitted = _jit_run(self.mesh, run, n_state_args=3)
         self._run = lambda variables, batch: jitted(

@@ -88,7 +88,9 @@ def main():
             def f(feats):
                 acc = jnp.float32(0.0)
                 for i in range(K):
-                    acc = acc + one(jnp.float32(1 + i * 1e-6), feats)
+                    # 1 + i/64 is EXACT in bf16 — a 1e-6 perturbation rounds
+                    # back to 1.0 there and CSE collapses the K copies
+                    acc = acc + one(jnp.float32(1 + i * 0.015625), feats)
                 return acc
             return jax.jit(f)
 

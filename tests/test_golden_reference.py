@@ -263,10 +263,10 @@ def test_composed_forward_matches_reference_code(setup):
     ours = model.apply(variables, batch, train=False)
 
     def get_feats(mdl, b):
-        _, fx = mdl._encode(mdl.backbone_inp, mdl.point_feats_inp,
-                            b["inp"]["feats"], b["inp"]["voxel_idx"], False)
-        _, fy = mdl._encode(mdl.backbone_tmp, mdl.point_feats_tmp,
-                            b["tmp"]["feats"], b["tmp"]["voxel_idx"], False)
+        _, fx, _ = mdl._encode(mdl.backbone_inp, mdl.point_feats_inp,
+                               b["inp"]["feats"], b["inp"]["voxel_idx"], False)
+        _, fy, _ = mdl._encode(mdl.backbone_tmp, mdl.point_feats_tmp,
+                               b["tmp"]["feats"], b["tmp"]["voxel_idx"], False)
         return fx, fy
 
     fx, fy = model.apply(variables, batch, method=get_feats)
