@@ -344,14 +344,20 @@ class EvalFrameLoader(_PoolOwner):
     valid=0 rows with correct labels."""
 
     def __init__(self, dataset, batch_size: int = 16, num_workers: int = 8,
-                 to_jax: bool = True, worker_type: str = "thread"):
+                 to_jax: bool = True, worker_type: str = "thread",
+                 collate=None, batch_transform=None):
         # to_jax kept for BatchLoader signature parity; batches are emitted
-        # as numpy either way (jit converts on dispatch)
+        # as numpy either way (jit converts on dispatch).
+        # collate/batch_transform mirror BatchLoader: the device-preprocess
+        # eval path passes make_raw_batch + DevicePreprocessor(
+        # eval_keep_clamp=True, augment=False).
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.to_jax = to_jax
         self.worker_type = worker_type
+        self.collate = collate
+        self.batch_transform = batch_transform
 
     def __iter__(self):
         pending: List[dict] = []
@@ -360,7 +366,13 @@ class EvalFrameLoader(_PoolOwner):
             while len(pending) >= self.batch_size or (force and pending):
                 chunk = pending[: self.batch_size]
                 del pending[: self.batch_size]
-                yield make_batch(chunk, pad_to=self.batch_size).to_dict()
+                if self.collate is not None:
+                    d = self.collate(chunk, pad_to=self.batch_size)
+                else:
+                    d = make_batch(chunk, pad_to=self.batch_size).to_dict()
+                if self.batch_transform is not None:
+                    d = self.batch_transform(d)
+                yield d
 
         def frames():
             # bounded look-ahead: submitting the WHOLE dataset to the pool

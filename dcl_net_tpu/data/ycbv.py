@@ -372,6 +372,14 @@ class YCBVTestDataset:
         (self.class_names, self.rgb_cad, self.pc_cad, self.pc_cad_ds,
          self.radius) = _load_cads(cads, classes, self.n_tmp)
         self.min_pt = 50
+        # device-side preprocessing (eval flavor): emit raw candidate pixels
+        # and run lift/center/clamped-filter/resample in-graph with the test
+        # loader's keep-clamp quirk (data/device_preprocess.py,
+        # eval_keep_clamp)
+        _get = (cfg.get if hasattr(cfg, "get")
+                else lambda k, d=None: getattr(cfg, k, d))
+        self.raw_mode = bool(_get("device_preprocess", False))
+        self.cand_k = int(_get("device_cand_k", 8192))
 
     def __len__(self):
         return len(self.list)
@@ -444,6 +452,15 @@ class YCBVTestDataset:
                              "trans_gt": target_t, "gt_pos": idx})
                 continue
 
+            if self.raw_mode:
+                w = cmax - cmin
+                samples.append(self._raw_sample(
+                    img, depth, obj_id,
+                    rmin + choose // w, cmin + choose % w,
+                    target_r, target_t, idx,
+                ))
+                continue
+
             rgb = pp.normalize_rgb(img[rmin:rmax, cmin:cmax].reshape(-1, 3)[choose])
             cloud = pp.depth_to_cloud(
                 depth, choose, rmin, rmax, cmin, cmax,
@@ -486,9 +503,63 @@ class YCBVTestDataset:
             })
         return {"samples": samples, "lost": lost, "path": path}
 
+    def _raw_sample(self, img, depth, obj_id, rows, cols,
+                    target_r, target_t, gt_pos):
+        """Raw candidate pixels for the device preprocessing graph, eval
+        flavor (no aug; lift/center/clamped-filter/resample run in-graph
+        with eval_keep_clamp — reference YCBV/dataloader_test_YCBV.py:
+        164-180 filters only when >32 candidates survive)."""
+        k = self.cand_k
+        n = len(rows)
+        if n > k:
+            sel = np.random.choice(n, k, replace=False)
+            rows, cols = rows[sel], cols[sel]
+            n = k
+        cand_depth = np.zeros(k, np.uint16)
+        cand_rc = np.zeros((k, 2), np.int16)
+        cand_rgb = np.zeros((k, 3), np.uint8)
+        cand_depth[:n] = depth[rows, cols]
+        cand_rc[:n, 0] = rows
+        cand_rc[:n, 1] = cols
+        cand_rgb[:n] = img[rows, cols]
+        model_points = (self.pc_cad[obj_id] / 1000.0).astype(np.float32)
+        feats_tmp, vidx_tmp = pp.assemble_features(
+            model_points, self.rgb_cad[obj_id].astype(np.float32),
+            self.unit, self.total, self.limit,
+        )
+        return {
+            "cand_depth": cand_depth, "cand_rc": cand_rc,
+            "cand_rgb": cand_rgb, "n_cand": np.int32(n),
+            "cam": np.asarray(
+                [CAM_1["cx"], CAM_1["cy"], CAM_1["fx"], CAM_1["fy"],
+                 TEST_CAM_SCALE], np.float32),
+            "tmp_feats": feats_tmp, "tmp_voxel_idx": vidx_tmp,
+            "rot_gt": target_r, "trans_gt": target_t,
+            "obj_idx": np.int32(obj_id - 1),
+            "sym_flag": np.float32(
+                1.0 if (obj_id - 1) in SYMMETRY_OBJ_IDX else 0.0),
+            "valid": 1.0, "gt_pos": gt_pos,
+        }
+
     def invalid_row(self) -> Dict:
         """A valid=0 placeholder row (lost detection / padding); input
         features are replaced by a real sample's in make_batch."""
+        if self.raw_mode:
+            k, m = self.cand_k, self.n_tmp
+            return {
+                "cand_depth": np.zeros(k, np.uint16),
+                "cand_rc": np.zeros((k, 2), np.int16),
+                "cand_rgb": np.zeros((k, 3), np.uint8),
+                "n_cand": np.int32(0),
+                "cam": np.asarray([1.0, 1.0, 1.0, 1.0, 1.0], np.float32),
+                "tmp_feats": np.zeros((m, 7), np.float32),
+                "tmp_voxel_idx": np.zeros((m, 3), np.int32),
+                "rot_gt": np.zeros((3, 3), np.float32),
+                "trans_gt": np.zeros(3, np.float32),
+                "obj_idx": np.int32(0),
+                "sym_flag": np.float32(0.0),
+                "valid": 0.0,
+            }
         n, m = self.n_inp, self.n_tmp
         return {
             "inp_feats": np.zeros((n, 7), np.float32),
@@ -511,6 +582,12 @@ class YCBVTestDataset:
         (batch_dict, path)."""
         from dcl_net_tpu.data.schema import make_batch
 
+        if self.raw_mode:
+            raise ValueError(
+                "frames() per-image protocol iteration needs the numpy "
+                "pipeline — construct the dataset without device_preprocess "
+                "(the device path serves the EvalFrameLoader throughput "
+                "protocol)")
         for i in range(len(self)):
             frame = self[i]
             rows = list(frame["samples"])

@@ -45,10 +45,31 @@ def main(argv=None):
         protocol="adds_auc", template_bank=dataset.template_bank(),
         logger=logger, mesh=mesh,
     )
+    collate = transform = None
+    if getattr(dataset, "raw_mode", False):
+        # device-side preprocessing, eval flavor (opt-in via
+        # hyper_dataset_test.device_preprocess): host decodes + gathers raw
+        # candidate pixels; lift/center/clamped-filter/resample run in-graph
+        from dcl_net_tpu.data.device_preprocess import (
+            DevicePreprocessor, make_raw_batch,
+        )
+
+        collate = make_raw_batch
+        transform = DevicePreprocessor(
+            n_points=int(cfg.hyper_dataset_test.input_size),
+            unit_voxel_extent=tuple(cfg.hyper_dataset_test.unit_voxel_extent),
+            voxel_num_limit=tuple(
+                int(v) for v in cfg.hyper_dataset_test.voxel_num_limit),
+            augment=False, eval_keep_clamp=True,
+            seed=int(cfg.get("rd_seed", 1)),
+        )
+        logger.warning("device-side eval preprocessing: lift/filter/"
+                       f"resample in-graph (cand_k={dataset.cand_k})")
     loader = EvalFrameLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 256)),
         num_workers=int(cfg.hyper_dataloader_test.get("num_workers", 8)),
         worker_type=str(cfg.hyper_dataloader_test.get("worker_type", "thread")),
+        collate=collate, batch_transform=transform,
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"ADD-S AUC mean: {result['auc_mean']}  <2cm: {result['acc_mean']}")

@@ -107,10 +107,16 @@ def main():
               f"   fused {per_fused:7.2f} ms   ({per_two / per_fused:.2f}x)")
 
         # backward too (training relevance)
-        t_two_g = timeit(amp(lambda s, f: jax.value_and_grad(
-            lambda ff: two_one(s, ff))(f)[0]), feats)
-        t_fused_g = timeit(amp(lambda s, f: jax.value_and_grad(
-            lambda ff: fused_one(s, ff))(f)[0]), feats)
+        def with_grad(one):
+            # consume the gradient in the output or XLA dead-codes the
+            # entire backward (the round-3 profile_train.py lesson)
+            def g(s, f):
+                val, grad = jax.value_and_grad(lambda ff: one(s, ff))(f)
+                return val + jnp.sum(grad.astype(jnp.float32)) * 1e-12
+            return g
+
+        t_two_g = timeit(amp(with_grad(two_one)), feats)
+        t_fused_g = timeit(amp(with_grad(fused_one)), feats)
         per_two_g = (t_two_g - floor) / K
         per_fused_g = (t_fused_g - floor) / K
         print(f"  +grad: two-stage {per_two_g:7.2f} ms   fused "

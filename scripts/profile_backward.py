@@ -47,22 +47,33 @@ def main():
             best = cur_t if best is None else min(best, cur_t)
         return best
 
+    def _consume(val_and_grad):
+        # value_and_grad whose grad output is unused gets its ENTIRE
+        # backward dead-coded by XLA — fold the gradient into the scalar
+        val, grad = val_and_grad
+        leaves = jax.tree.leaves(grad)
+        return val + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves) * 1e-12
+
     x = jnp.ones((8, 128))
     floor = timeit(jax.jit(lambda x: (x * 1.0001).sum()), x)
     print(f"dispatch floor: {floor:.1f} ms (B={B}, K={K})")
 
-    def amp(run_one):
-        """K chained copies; the scalar accumulator serializes them."""
+    def amp(run_one, k=None):
+        """K chained copies; the scalar accumulator serializes them. The
+        per-copy scale must be bf16-EXACT (1 + i/64) or the bf16 stages CSE
+        back into one copy (the scale rounds to 1.0)."""
+        kk = K if k is None else k
         def f(*args):
             acc = jnp.float32(0.0)
-            for i in range(K):
-                acc = acc + run_one(jnp.float32(1 + i * 1e-6), *args)
+            for i in range(kk):
+                acc = acc + run_one(jnp.float32(1 + i * 0.015625), *args)
             return acc
         return jax.jit(f)
 
-    def report(name, fwd_ms, grad_ms):
-        fwd = (fwd_ms - floor) / K
-        both = (grad_ms - floor) / K
+    def report(name, fwd_ms, grad_ms, k=None):
+        kk = K if k is None else k
+        fwd = (fwd_ms - floor) / kk
+        both = (grad_ms - floor) / kk
         print(f"{name:28s} fwd {fwd:7.2f} ms   fwd+bwd {both:7.2f} ms   "
               f"bwd {both - fwd:7.2f} ms  ({(both - fwd) / max(fwd, 1e-9):.2f}x fwd)")
 
@@ -79,8 +90,8 @@ def main():
         return jnp.sum(g.astype(jnp.float32) * 1e-6) + jnp.sum(cnt) * 0.0
 
     fwd = timeit(amp(vox_one), pts_feats, vidx)
-    grad = timeit(amp(lambda s, f, vi: jax.value_and_grad(
-        lambda ff: vox_one(s, ff, vi))(f)[0]), pts_feats, vidx)
+    grad = timeit(amp(lambda s, f, vi: _consume(jax.value_and_grad(
+        lambda ff: vox_one(s, ff, vi))(f))), pts_feats, vidx)
     report("voxelize(matmul) VJP", fwd, grad)
 
     # ---- stage 2: compaction VJP (pallas_dense_to_sparse, level-0 shape) --
@@ -101,8 +112,8 @@ def main():
         return jnp.sum(vf.astype(jnp.float32) * 1e-6)
 
     fwd = timeit(amp(compact_one), grid_feats, maskj)
-    grad = timeit(amp(lambda s, f, m: jax.value_and_grad(
-        lambda ff: compact_one(s, ff, m))(f)[0]), grid_feats, maskj)
+    grad = timeit(amp(lambda s, f, m: _consume(jax.value_and_grad(
+        lambda ff: compact_one(s, ff, m))(f))), grid_feats, maskj)
     report("compaction VJP (L0)", fwd, grad)
 
     # ---- stage 3: fused 3-NN interp VJP (level-0 shape) ----
@@ -120,8 +131,8 @@ def main():
         return jnp.sum(out.astype(jnp.float32) * 1e-6)
 
     fwd = timeit(amp(interp_one), vfeats)
-    grad = timeit(amp(lambda s, vf: jax.value_and_grad(
-        lambda ff: interp_one(s, ff))(vf)[0]), vfeats)
+    grad = timeit(amp(lambda s, vf: _consume(jax.value_and_grad(
+        lambda ff: interp_one(s, ff))(vf))), vfeats)
     report("pallas interp VJP (L0)", fwd, grad)
 
     # ---- stage 4: conv1-shaped dense conv grads (the N-limited GEMMs) ----
@@ -135,8 +146,8 @@ def main():
         return jnp.sum(y.astype(jnp.float32) * 1e-6)
 
     fwd = timeit(amp(conv_one), inp, w)
-    grad = timeit(amp(lambda s, x, ww: jax.value_and_grad(
-        lambda p: conv_one(s, p[0], p[1]))((x, ww))[0]), inp, w)
+    grad = timeit(amp(lambda s, x, ww: _consume(jax.value_and_grad(
+        lambda p: conv_one(s, p[0], p[1]))((x, ww)))), inp, w)
     report("conv1 16->32 @64^3 grads", fwd, grad)
 
     # ---- stage 5: whole backbone fwd vs fwd+bwd ----
@@ -153,10 +164,13 @@ def main():
         out = bb.apply(v, g * s.astype(g.dtype), m, False)
         return sum(jnp.sum(f.astype(jnp.float32) * 1e-6) for f, _ in out)
 
-    fwd = timeit(amp(bb_one), grid0, m0, bvars)
-    grad = timeit(amp(lambda s, g, m, v: jax.value_and_grad(
-        lambda p: bb_one(s, g, m, p))(v)[0]), grid0, m0, bvars)
-    report("backbone (params grad)", fwd, grad)
+    # K chained backbone backwards hold K copies of the saved activations
+    # (~GBs each at B=128/64^3): amplify less or the chip OOMs
+    K_bb = int(os.environ.get("PROF_BB_K", 2))
+    fwd = timeit(amp(bb_one, k=K_bb), grid0, m0, bvars)
+    grad = timeit(amp(lambda s, g, m, v: _consume(jax.value_and_grad(
+        lambda p: bb_one(s, g, m, p))(v)), k=K_bb), grid0, m0, bvars)
+    report("backbone (params grad)", fwd, grad, k=K_bb)
 
 
 if __name__ == "__main__":

@@ -300,3 +300,66 @@ def test_samples_per_frame_amortizes_decode(tmp_path):
         assert batch["inp"]["feats"].shape == (8, 128, 7)
         assert np.asarray(batch["valid"]).sum() >= 6
     assert n_batches == len(loader)
+
+
+def test_eval_keep_clamp_semantics():
+    """eval_keep_clamp: the volume filter applies only when >32 candidates
+    survive it (reference YCBV/dataloader_test_YCBV.py:164-180) — a mostly
+    out-of-volume cloud keeps ALL candidates and resampled points may lie
+    outside the volume."""
+    rng = np.random.RandomState(6)
+    b, k = 2, 512
+    raw = _fake_raw(rng, b, k)
+    # row 1: huge depth spread -> <=32 in-volume survivors after centering
+    raw["cand_depth"][1] = rng.randint(1000, 60000, k).astype(np.uint16)
+    out = preprocess_core(
+        {kk: jnp.asarray(v) for kk, v in raw.items()},
+        None, None, None, jax.random.PRNGKey(3),
+        n_points=N_PTS, unit=tuple(UNIT), total=tuple(TOTAL),
+        limit=tuple(int(v) for v in LIMIT), augment=False,
+        min_points=50, eval_keep_clamp=True,
+    )
+    assert np.asarray(out["valid"]).tolist() == [1.0, 1.0]  # clamp keeps it
+    xyz = np.asarray(out["inp_feats"])[..., 4:7]
+    # row 0 (tight blob): all resampled points in-volume
+    assert (np.abs(xyz[0]) < TOTAL[0] * 0.5 + 1e-6).all()
+    # row 1 (clamped): the spread survives into the selection
+    assert (np.abs(xyz[1]) > TOTAL[0] * 0.5).any()
+
+
+def test_eval_frame_loader_device_preprocess_through_evaluator(tmp_path):
+    """Raw-mode YCBVTestDataset -> EvalFrameLoader(collate+transform) ->
+    Evaluator: the full device-preprocessed eval path on the disk fixture,
+    lost detections included."""
+    from dcl_net_tpu.data.loader import EvalFrameLoader
+    from dcl_net_tpu.data.ycbv import YCBVTestDataset
+    from dcl_net_tpu.eval.evaluator import Evaluator
+    from dcl_net_tpu.models import DCLNet
+    from tests.fixtures import make_ycbv_fixture
+
+    root, assets = make_ycbv_fixture(str(tmp_path), n_classes=3, n_frames=4,
+                                     seed=0)
+    cfg = Config({
+        "input_size": 128, "tmp_size": 128,
+        "unit_voxel_extent": [0.006, 0.006, 0.006],
+        "voxel_num_limit": [64, 64, 64], "voxelization_mode": 4,
+        "device_preprocess": True, "device_cand_k": 4096,
+    })
+    ds = YCBVTestDataset(cfg, root, assets_dir=assets)
+    assert ds.raw_mode
+
+    pre = DevicePreprocessor(
+        n_points=128, unit_voxel_extent=[0.006] * 3, voxel_num_limit=[64] * 3,
+        augment=False, eval_keep_clamp=True, seed=0)
+    loader = EvalFrameLoader(ds, batch_size=8, num_workers=2,
+                             collate=make_raw_batch, batch_transform=pre)
+    model = DCLNet(unit_voxel_extent=(0.006,) * 3, voxel_num_limit=(64,) * 3,
+                   n_inp=128, n_tmp=128)
+    first = next(iter(loader))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), first, train=False)
+    ev = Evaluator(model, variables, ds.model_points_array(),
+                   protocol="adds_auc", template_bank=ds.template_bank())
+    res = ev.evaluate(iter(loader))
+    assert np.isfinite(res["auc_mean"]), res
+    assert res["n_overflow"] == 0

@@ -61,6 +61,43 @@ def test_train_stage1_mesh_and_bank_smoke(tmp_path):
     assert np.isfinite(json.loads(scalars[-1])["loss_all"])
 
 
+def test_train_stage1_device_preprocess_smoke(tmp_path):
+    """Train CLI on the disk YCBV fixture with device-side preprocessing +
+    samples_per_frame decode amortization (the round-4 input-pipeline
+    production path)."""
+    from dcl_net_tpu.tools import train_stage1
+    from tests import fixtures
+
+    root, assets = fixtures.make_ycbv_fixture(str(tmp_path), n_classes=3,
+                                              n_frames=8, seed=0)
+    datasets_dir = os.path.dirname(assets)
+    log_root = str(tmp_path / "log")
+    train_stage1.main([
+        "--config", "configs/config_YCBV_bs32.yaml",
+        "--log_root", log_root, "--path_data", datasets_dir,
+        "--override",
+        "model.n_inp=64", "model.n_tmp=64",
+        "model.unit_voxel_extent=[0.024,0.024,0.024]",
+        "model.voxel_num_limit=[16,16,16]",
+        "model.capacities=[256,64,16,8]",
+        "hyper_dataset_train.input_size=64",
+        "hyper_dataset_train.tmp_size=64",
+        "hyper_dataset_train.unit_voxel_extent=[0.024,0.024,0.024]",
+        "hyper_dataset_train.voxel_num_limit=[16,16,16]",
+        "hyper_dataset_train.device_preprocess=true",
+        "hyper_dataset_train.device_cand_k=2048",
+        "hyper_dataset_train.samples_per_frame=2",
+        "hyper_dataloader_train.bs=8",
+        "hyper_dataloader_train.num_workers=2",
+        "max_epoch=1", "per_val=0", "per_save=1", "per_write=1",
+    ])
+    exp_dir = os.path.join(log_root, "DCL_Net_config_YCBV_bs32_id0")
+    scalars = open(os.path.join(exp_dir, "scalars.jsonl")).read().strip().splitlines()
+    rec = json.loads(scalars[-1])
+    assert np.isfinite(rec["loss_all"])
+    assert rec["overflow_frac"] == 0.0
+
+
 @pytest.mark.slow
 def test_stage2_train_synthetic_smoke(tmp_path):
     from dcl_net_tpu.tools.train_ycbv_stage2 import main as main2
@@ -180,6 +217,21 @@ def test_eval_ycbv_cli(tmp_path):
     assert abs(result_big["acc_mean"] - result["acc_mean"]) < 0.2
     _np.testing.assert_allclose(
         result_big["auc_per_class"], result["auc_per_class"], atol=0.2)
+
+    # device-preprocess eval path through the SAME CLI: lift/clamped-filter/
+    # resample in-graph (hyper_dataset_test.device_preprocess) — the
+    # resample draws differ (jax PRNG vs np.random), so parity here is the
+    # protocol (same instances scored, finite metrics), not bit equality
+    result_dev = eval_main([
+        "--config", "configs/config_YCBV_bs32.yaml",
+        "--log_root", log_root, "--path_data", datasets_dir,
+        "--epoch", "1",
+        "--override", *overrides,
+        "hyper_dataset_test.device_preprocess=true",
+        "hyper_dataset_test.device_cand_k=2048",
+    ])
+    assert 0.0 <= result_dev["auc_mean"] <= 100.0
+    assert result_dev["n_overflow"] == 0
 
 
 def test_eval_lm_and_lmo_cli(tmp_path):
