@@ -147,3 +147,31 @@ def test_evaluator_on_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(res8["adds"]), np.asarray(res1["adds"]), rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_bench_multichip_smoke():
+    """The ready-to-run multi-chip bench harness (scripts/bench_multichip.py)
+    executes end-to-end on a virtual CPU mesh and emits well-formed JSON —
+    so it works unmodified on the day a real multi-chip slice is attached."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the harness sets its own device count
+    out = subprocess.run(
+        [sys.executable, "scripts/bench_multichip.py", "--preset", "smoke",
+         "--platform", "cpu", "--n_devices", "4", "--iters", "2",
+         "--no_scaling_ref"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["metric"] == "multichip_eval_instances_per_sec"
+    assert res["value"] > 0
+    assert res["extra"]["n_devices"] == 4
+    assert res["extra"]["train_samples_per_sec"] > 0
