@@ -200,11 +200,13 @@ def main():
             model, variables, model_points, protocol="adds_auc",
             template_bank=bank_np,
         )
-        # 4 batches through the product loop (dispatches are not memoized,
-        # so identical contents time the same work), one warm pass first
+        # 8 batches through the product loop (dispatches are not memoized,
+        # so identical contents time the same work), one warm pass first —
+        # enough steady-state batches that the pipeline prologue (the one
+        # non-overlapped first dispatch) amortizes below the run-to-run noise
         proto_batches = [
             jax.tree.map(jnp.asarray, make_batch(samples[:batch_size]).to_dict())
-            for _ in range(4)
+            for _ in range(8)
         ]
         _ = evaluator.evaluate(proto_batches[:1])
         t0 = time.perf_counter()
