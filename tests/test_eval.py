@@ -119,6 +119,45 @@ def test_evaluator_end_to_end(rng):
     assert out["auc_per_class"][0] < 99.0  # dragged down by lost detections
 
 
+def test_add_distance_gated_by_protocol(rng):
+    """adds_auc scores every row ADD-S (reference tools/test_YCBV_stage1.py:
+    192-199), so the jitted eval graph must not compute/fetch the plain ADD
+    there; the add_0.1d protocol needs both for its sym selection rule."""
+    from dcl_net_tpu.eval.evaluator import Evaluator
+
+    class FakeModel:
+        def apply(self, variables, batch, train=False):
+            return {
+                "rot_pred": batch["labels"]["rot_gt"],
+                "trans_pred": batch["labels"]["trans_gt"],
+            }
+
+    num_classes, P, B = 2, 32, 4
+    model_points = (rng.rand(num_classes, P, 3).astype(np.float32) - 0.5) * 0.1
+    batch = {
+        "labels": {
+            "rot_gt": jnp.asarray(np.stack([np.eye(3, dtype=np.float32)] * B)),
+            "trans_gt": jnp.zeros((B, 3)),
+            "obj_idx": jnp.asarray(np.arange(B) % num_classes, jnp.int32),
+        },
+        "sym_flag": jnp.zeros((B,)),
+        "valid": jnp.ones((B,)),
+    }
+
+    ev_aucs = Evaluator(FakeModel(), {}, model_points, protocol="adds_auc")
+    res = ev_aucs._run(ev_aucs.variables, batch)
+    assert "add" not in res and "adds" in res
+    out = ev_aucs.evaluate(iter([batch]))
+    assert out["auc_mean"] > 99.9
+
+    ev_add = Evaluator(FakeModel(), {}, model_points, protocol="add_0.1d",
+                       diameters=[0.1] * num_classes)
+    res = ev_add._run(ev_add.variables, batch)
+    assert "add" in res and "adds" in res
+    out = ev_add.evaluate(iter([batch]))
+    assert out["success_mean"] > 0.999  # 0-1 fraction (success rate)
+
+
 def test_padding_rows_not_scored_as_lost(rng):
     """Synthetic fill rows (pad=1) exist only to make batches rectangular:
     they must be skipped by scoring entirely, while genuine invalid rows
