@@ -19,7 +19,7 @@ CAD-sample + voxel-index path fused into one jit'd preprocessing function"):
 Randomness: production draws come from a jax PRNG folded with a step counter
 in-graph. Resampling semantics match numpy's rng.choice exactly IN
 DISTRIBUTION: uniform WITHOUT replacement (top-N of uniform keys over the
-kept set) when keep_count >= N, iid WITH replacement (inverse-CDF over the
+kept set) when keep_count > N, iid WITH replacement (inverse-CDF over the
 keep mask) otherwise. For bit-level parity tests the core accepts explicit
 draws (angles, translation jitter, candidate indices) captured from the
 numpy path — tests/test_device_preprocess.py.
@@ -98,9 +98,11 @@ def _assemble(cloud, rgb, unit, total, limit):
 def _draw_cand_idx(key, keep, n_points: int):
     """Sample n_points candidate indices from the kept set, matching
     numpy's rng.choice semantics in distribution (preprocess.py
-    filter_and_resample): uniform WITHOUT replacement when keep_count >=
+    filter_and_resample): uniform WITHOUT replacement when keep_count >
     n_points (top-N of uniform keys over the kept set — exactly uniform),
-    iid WITH replacement otherwise (inverse-CDF over the keep mask)."""
+    iid WITH replacement otherwise (inverse-CDF over the keep mask; the
+    host path — and the reference, YCBV/dataloader_train_YCBV.py:196-198 —
+    draws WITH replacement at keep_count == n_points too)."""
     b, k = keep.shape
     count = jnp.sum(keep, axis=1)                             # [B]
     k_keys, k_fill = jax.random.split(key)
@@ -113,7 +115,7 @@ def _draw_cand_idx(key, keep, n_points: int):
         lambda c, uu: jnp.searchsorted(c, uu, side="right")
     )(cdf, u).astype(jnp.int32)
     wr = jnp.minimum(wr, k - 1)
-    return jnp.where((count >= n_points)[:, None], wo, wr)
+    return jnp.where((count > n_points)[:, None], wo, wr)
 
 
 def preprocess_core(
@@ -235,6 +237,15 @@ class DevicePreprocessor:
         limit = tuple(int(v) for v in voxel_num_limit)
         total = tuple(u * v for u, v in zip(unit, limit))
         self._base_key = jax.random.PRNGKey(seed)
+        # multi-host: each process preprocesses its OWN block of the global
+        # batch, so the draw streams must differ per process — otherwise
+        # every host applies the identical per-row aug/resample sequence and
+        # the global batch sees each draw duplicated process_count times.
+        # Single-process keys are unchanged (no fold), so seeded runs stay
+        # reproducible against existing records.
+        if jax.process_count() > 1:
+            self._base_key = jax.random.fold_in(
+                self._base_key, jax.process_index())
         self._step = 0
         core = functools.partial(
             preprocess_core,
@@ -299,7 +310,13 @@ def make_raw_batch(samples, pad_to: Optional[int] = None) -> Dict[str, np.ndarra
     if pad_to is not None and pad_to < len(samples):
         raise ValueError(f"pad_to={pad_to} < {len(samples)} samples")
     b = pad_to or len(samples)
-    input_keys = {"cand_depth", "cand_rc", "cand_rgb", "n_cand", "cam"}
+    # invalid rows replicate a valid row's INPUTS — both the raw observed-
+    # branch pixels AND the template branch (an _invalid_raw sample carries
+    # all-zero tmp grids, which would pollute the template encoder's train-
+    # mode BN statistics for every real sample in the batch; schema.
+    # make_batch replicates tmp_feats/tmp_voxel_idx for the same reason)
+    input_keys = {"cand_depth", "cand_rc", "cand_rgb", "n_cand", "cam",
+                  "tmp_feats", "tmp_voxel_idx"}
     rows, pad_flags = [], []
     for i in range(b):
         if i < len(samples):

@@ -209,6 +209,21 @@ class BatchLoader(_PoolOwner):
                 f"process_count {process_count}"
             )
         self.samples_per_item = max(int(samples_per_item), 1)
+        if process_count > 1 and not drop_last:
+            # a trailing partial global batch splits UNEVENLY across the
+            # per-process contiguous blocks: a higher-rank process can get an
+            # EMPTY index slice, crash in collate, and desynchronize the
+            # hosts mid-collective. Refuse up front unless the epoch divides
+            # evenly (in which case drop_last is a no-op anyway).
+            items = batch_size // self.samples_per_item
+            if len(dataset) % items:
+                raise ValueError(
+                    f"multi-host loading (process_count={process_count}) "
+                    f"requires drop_last=True when the dataset length "
+                    f"({len(dataset)}) is not a multiple of the global "
+                    f"batch ({items} items): the trailing partial batch "
+                    "would leave some process with an empty block"
+                )
         if (batch_size // max(process_count, 1)) % self.samples_per_item:
             raise ValueError(
                 f"per-process batch {batch_size // max(process_count, 1)} "

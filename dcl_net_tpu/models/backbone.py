@@ -120,12 +120,25 @@ class MultiScalePointFeatures(nn.Module):
             else:
                 grid_n = int(np.prod(feats.shape[1:4]))
                 cap = min(int(self.capacities[level]), grid_n)
-                if cap < grid_n:  # a full-grid budget can never overflow
-                    occ = jnp.sum(
-                        mask.reshape(mask.shape[0], -1) > 0, axis=1
-                    )
-                    overflow = overflow | (occ > cap)
                 pallas_ok = points.shape[1] % 128 == 0
+                on_pallas = pallas_ok and self.interp_mode in (
+                    "pallas", "pallas_fused")
+                if cap < grid_n:  # a full-grid budget can never overflow
+                    if on_pallas:
+                        # the Pallas compaction's 8-aligned chunk layout can
+                        # drop voxels BELOW raw-occupancy == cap (up to 7
+                        # wasted slots per non-empty chunk) — flag on the
+                        # kernel's exact effective-consumption predicate
+                        from dcl_net_tpu.ops.pallas_compact import (
+                            capacity_overflow,
+                        )
+
+                        overflow = overflow | capacity_overflow(mask, cap)
+                    else:
+                        occ = jnp.sum(
+                            mask.reshape(mask.shape[0], -1) > 0, axis=1
+                        )
+                        overflow = overflow | (occ > cap)
                 if self.interp_mode == "pallas_fused" and pallas_ok:
                     # single-stage variant: the interp kernel consumes the
                     # compaction raw buffer directly (ops/pallas_fused.py)

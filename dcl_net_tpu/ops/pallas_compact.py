@@ -120,9 +120,14 @@ def _make_kernel(chunk: int, exact: bool):
     return kernel
 
 
-def _run_fwd(
+def compact_raw(
     feats: jnp.ndarray, mask: jnp.ndarray, capacity: int
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, int]:
+    """The compaction kernel's raw output [B, cap+chunk, C+8] f32 (channels:
+    C features, lin_hi, lin_lo, valid, 0*5) plus the 8-aligned cap. Shared by
+    _run_fwd (which decodes/splits it in XLA) and the fused single-stage
+    variant (ops/pallas_fused.py, which consumes it in-kernel) so the two
+    paths can never diverge in compaction semantics."""
     b = feats.shape[0]
     d0, d1, d2 = feats.shape[1:4]
     c = feats.shape[-1]
@@ -174,7 +179,39 @@ def _run_fwd(
         ),
     )(counts, offsets, flat_mask[:, None, :], ranks[:, None, :],
       flat_feats, aux)
+    return out, cap
 
+
+def capacity_overflow(mask: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """[B] bool: True where the ALIGNED chunk layout drops occupied voxels.
+
+    The kernel stores each non-empty chunk at an 8-aligned running offset, so
+    a sample can lose voxels even when its raw occupancy is <= capacity (up
+    to 7 wasted slots per non-empty chunk). A chunk's rows are dropped iff
+    its unclamped aligned prefix offset + its count exceeds `capacity` —
+    exact for clamped offsets too, since a clamped chunk starts at
+    cap >= capacity and always drops. This is the overflow predicate the
+    model's per-sample overflow flag uses on the Pallas interp paths
+    (models/backbone.py); the XLA dense_to_sparse path keeps the plain
+    occupancy > capacity test."""
+    b = mask.shape[0]
+    flat = mask.reshape(b, -1).astype(jnp.float32)
+    g = flat.shape[1]
+    chunk = min(_CHUNK, g)
+    n_chunks = g // chunk
+    counts = flat.reshape(b, n_chunks, chunk).sum(-1).astype(jnp.int32)
+    pad8 = ((counts + 7) // 8) * 8
+    prefix = jnp.cumsum(pad8, axis=1) - pad8  # unclamped aligned offsets
+    end = jnp.where(counts > 0, prefix + counts, 0)
+    return jnp.max(end, axis=1) > capacity
+
+
+def _run_fwd(
+    feats: jnp.ndarray, mask: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    d0, d1, d2 = feats.shape[1:4]
+    c = feats.shape[-1]
+    out, _cap8 = compact_raw(feats, mask, capacity)
     vfeats = out[:, :capacity, :c].astype(feats.dtype)
     out_aux = out[:, :capacity, c:]
     lin_idx = (out_aux[..., 0] * 128.0 + out_aux[..., 1]).astype(jnp.int32)
@@ -283,7 +320,9 @@ def pallas_dense_to_sparse(
     single-voxel chunks consume 8 slots each). Size capacity accordingly:
     at the production pyramid shapes the waste bound is <=7*G/512 (448 at
     level 0) on top of the measured occupancy, well inside the defaults
-    (models/dcl_net.py capacities).
+    (models/dcl_net.py capacities). :func:`capacity_overflow` is the exact
+    per-sample "did this layout drop voxels" predicate — the model's
+    overflow flag uses it on this path (models/backbone.py).
 
     Args:
       feats: [B, D0, D1, D2, C]; mask: [B, D0, D1, D2]; capacity: static V

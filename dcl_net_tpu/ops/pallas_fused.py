@@ -29,69 +29,17 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dcl_net_tpu.ops.pallas_compact import (
-    _CHUNK,
-    _chunk_offsets,
     _interpret,
-    _make_kernel,
     _run_bwd,
+    compact_raw,
 )
 
 _QUERY_TILE = 128
 _BIG = 1e10
-
-
-def _compact_raw(feats: jnp.ndarray, mask: jnp.ndarray, capacity: int):
-    """The compaction kernel's raw output [B, cap+chunk, C+8] f32 (channels:
-    C features, lin_hi, lin_lo, valid, 0*5) — pallas_compact._run_fwd without
-    the XLA decode/split."""
-    b = feats.shape[0]
-    d0, d1, d2 = feats.shape[1:4]
-    c = feats.shape[-1]
-    g = d0 * d1 * d2
-    chunk = min(_CHUNK, g)
-    assert g % chunk == 0, f"grid size {g} must be a multiple of {chunk}"
-    cap = ((capacity + 7) // 8) * 8
-
-    flat_feats = feats.reshape(b, g, c)
-    flat_mask = mask.reshape(b, g).astype(jnp.float32)
-    lin_i = jnp.arange(g, dtype=jnp.int32)
-    aux = jnp.stack(
-        [
-            (lin_i // 128).astype(jnp.float32),
-            (lin_i % 128).astype(jnp.float32),
-            jnp.ones((g,), jnp.float32),
-        ] + [jnp.zeros((g,), jnp.float32)] * 5,
-        axis=-1,
-    )[None]
-    exact = (feats.dtype != jnp.bfloat16) or g > 32768
-    counts, offsets, ranks = _chunk_offsets(flat_mask, chunk, cap)
-    raw = pl.pallas_call(
-        _make_kernel(chunk, exact),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, g // chunk),
-            in_specs=[
-                pl.BlockSpec((1, 1, chunk), lambda bi, ci, *_: (bi, 0, ci)),
-                pl.BlockSpec((1, 1, chunk), lambda bi, ci, *_: (bi, 0, ci)),
-                pl.BlockSpec((1, chunk, c), lambda bi, ci, *_: (bi, ci, 0)),
-                pl.BlockSpec((1, chunk, 8), lambda bi, ci, *_: (0, ci, 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, cap + chunk, c + 8), lambda bi, ci, *_: (bi, 0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, cap + chunk, c + 8), jnp.float32),
-        interpret=_interpret(),
-        compiler_params=None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(counts, offsets, flat_mask[:, None, :], ranks[:, None, :],
-      flat_feats, aux)
-    return raw, cap
 
 
 def _make_fused_kernel(c: int, capacity: int, d12: int, d2: int,
@@ -219,7 +167,7 @@ def pallas_compact_interpolate(
 def _fused_fwd(feats, mask, points, capacity, unit_scaled, offset):
     c = feats.shape[-1]
     grid_shape = feats.shape[1:4]
-    raw, _cap8 = _compact_raw(feats, mask, capacity)
+    raw, _cap8 = compact_raw(feats, mask, capacity)
     unit_s = tuple(float(u) for u in unit_scaled)
     off_c = tuple(float(o) + 0.5 * u for o, u in zip(offset, unit_s))
     return _run_fused_fwd(points, raw, capacity, c, grid_shape, unit_s, off_c)

@@ -85,6 +85,12 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    # make_array_from_process_local_data needs process-local HOST data: fetch
+    # any device-resident leaves (e.g. a DevicePreprocessor batch) in ONE
+    # bundled transfer instead of a per-leaf np.asarray round-trip (per-leaf
+    # fetches serialize ms-scale attach latencies; numpy leaves pass through
+    # device_get untouched).
+    batch = jax.device_get(batch)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             sharding, np.asarray(x)
@@ -102,6 +108,7 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated_sharding(mesh)
     if jax.process_count() == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    tree = jax.device_get(tree)  # one bundled host fetch (see shard_batch)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             sharding, np.asarray(x)

@@ -309,6 +309,11 @@ class BundleServer:
 
     def __call__(self, feats, voxel_idx, obj_idx) -> Dict[str, np.ndarray]:
         n = int(np.asarray(obj_idx).shape[0])
+        if n == 0:
+            raise ValueError(
+                "BundleServer: empty request (0 instances); batch at least "
+                "one instance per call"
+            )
         if not self.fixed_sizes:
             if not self.has_poly:
                 raise RuntimeError("empty bundle")

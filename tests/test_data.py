@@ -86,6 +86,24 @@ def test_ycbv_train_dataset(ycbv_dirs):
     assert batches[0]["inp"]["feats"].shape == (2, 256, 7)
 
 
+def test_multihost_loader_requires_drop_last_on_partial_epochs():
+    """With process striding, a trailing partial global batch hands a
+    higher-rank process an EMPTY index block — collate would crash on one
+    host while the others dispatch a collective (a desync hang, not an
+    error). The loader must refuse the configuration up front; divisible
+    epochs and drop_last=True stay accepted."""
+    import pytest
+
+    ds = list(range(40))  # 40 items, global batch 16 -> trailing 8
+    with pytest.raises(ValueError, match="drop_last"):
+        BatchLoader(ds, batch_size=16, drop_last=False,
+                    process_id=1, process_count=2)
+    BatchLoader(ds, batch_size=16, drop_last=True,
+                process_id=1, process_count=2)
+    BatchLoader(ds[:32], batch_size=16, drop_last=False,
+                process_id=1, process_count=2)
+
+
 def test_process_worker_loader_matches_thread(ycbv_dirs):
     """worker_type="process" (reference parity: 10 DataLoader worker
     processes) must deliver the same batch STRUCTURE as threads. Contents

@@ -205,6 +205,66 @@ def test_production_sampling_draws_only_kept_candidates():
     assert (np.asarray(out["inp_voxel_idx"]) < 64).all()
 
 
+def test_resample_boundary_matches_host_replacement_semantics():
+    """The host path (and the reference, YCBV/dataloader_train_YCBV.py:
+    196-198) draws WITH replacement when keep_count <= n_points — including
+    the == boundary — and without replacement only for strictly more
+    candidates. The device draw must match at the boundary."""
+    from dcl_net_tpu.data.device_preprocess import _draw_cand_idx
+
+    n, k = 64, 128
+    # exactly n kept -> with replacement: near-certain duplicates (the
+    # probability of an all-distinct draw is 64!/64^64 ~ 1e-28), and only
+    # kept indices selected
+    keep_eq = jnp.asarray(np.arange(k)[None, :] < n)
+    sel = np.asarray(_draw_cand_idx(jax.random.PRNGKey(0), keep_eq, n))[0]
+    assert (sel < n).all()
+    assert len(np.unique(sel)) < n, (
+        "keep_count == n_points must draw WITH replacement (host parity)")
+    # strictly more kept -> without replacement: all distinct, all kept
+    keep_gt = jnp.asarray(np.arange(k)[None, :] < n + 8)
+    sel2 = np.asarray(_draw_cand_idx(jax.random.PRNGKey(0), keep_gt, n))[0]
+    assert (sel2 < n + 8).all()
+    assert len(np.unique(sel2)) == n
+
+
+def test_make_raw_batch_replicates_template_inputs_for_invalid_rows():
+    """An invalid raw sample carries all-zero template grids (_invalid_raw);
+    make_raw_batch must replicate a valid row's tmp_feats/tmp_voxel_idx into
+    it — same BN-statistics rationale as schema.make_batch — while labels
+    stay the row's own."""
+    rng = np.random.RandomState(11)
+
+    def sample(valid):
+        k, m = 32, 16
+        return {
+            "cand_depth": rng.randint(0, 60000, k).astype(np.uint16),
+            "cand_rc": rng.randint(0, 400, (k, 2)).astype(np.int16),
+            "cand_rgb": rng.randint(0, 255, (k, 3)).astype(np.uint8),
+            "n_cand": np.int32(k if valid else 0),
+            "cam": np.asarray([320, 240, 1066, 1067, 10000], np.float32),
+            "rot_gt": np.eye(3, dtype=np.float32),
+            "trans_gt": rng.rand(3).astype(np.float32),
+            "obj_idx": np.int32(3 if valid else 5),
+            "sym_flag": np.float32(0.0),
+            "valid": float(valid),
+            "tmp_feats": (rng.rand(m, 7).astype(np.float32)
+                          if valid else np.zeros((m, 7), np.float32)),
+            "tmp_voxel_idx": (rng.randint(0, 64, (m, 3)).astype(np.int32)
+                              if valid else np.zeros((m, 3), np.int32)),
+        }
+
+    good, bad = sample(True), sample(False)
+    out = make_raw_batch([good, bad])
+    np.testing.assert_array_equal(out["tmp_feats"][1], good["tmp_feats"])
+    np.testing.assert_array_equal(
+        out["tmp_voxel_idx"][1], good["tmp_voxel_idx"])
+    np.testing.assert_array_equal(out["cand_depth"][1], good["cand_depth"])
+    # labels remain the invalid row's own; valid stays 0
+    assert out["obj_idx"][1] == 5
+    assert out["valid"][1] == 0.0
+
+
 def test_device_preprocessor_end_to_end_on_fixture(tmp_path):
     """Raw-mode YCBVTrainDataset -> make_raw_batch -> DevicePreprocessor on
     the on-disk YCBV fixture: per-index (seeded) the raw sample must pick

@@ -162,6 +162,68 @@ def test_stage2_train_step_reports_overflow_frac():
     assert float(metrics["overflow_frac"]) == 1.0
 
 
+def test_pallas_alignment_band_overflow():
+    """The Pallas compaction stores each non-empty 512-cell chunk at an
+    8-ALIGNED offset, so it can drop voxels with raw occupancy <= capacity
+    (up to 7 wasted slots per non-empty chunk). The overflow flag must use
+    the kernel's effective-consumption predicate on that path — the plain
+    occupancy test silently misses the whole alignment-waste band."""
+    from dcl_net_tpu.ops.pallas_compact import (
+        capacity_overflow,
+        pallas_dense_to_sparse,
+    )
+    from dcl_net_tpu.ops.sparse_conv import dense_to_sparse
+
+    cap = 16
+    mask = np.zeros((2, 16, 16, 16), np.float32)
+    flat0 = mask[0].reshape(-1)
+    # sample 0: one voxel in each of 3 distinct chunks -> 3*8 = 24 aligned
+    # slots > cap although occ = 3 <= cap: the third voxel is dropped
+    flat0[0] = flat0[2 * 512] = flat0[5 * 512] = 1.0
+    # sample 1: 3 voxels in ONE chunk -> 8 aligned slots, well in budget
+    flat1 = mask[1].reshape(-1)
+    flat1[7] = flat1[8] = flat1[9] = 1.0
+    feats = np.random.RandomState(0).rand(2, 16, 16, 16, 4).astype(np.float32)
+
+    ovf = np.asarray(capacity_overflow(jnp.asarray(mask), cap))
+    assert ovf.tolist() == [True, False]
+
+    # the kernel REALLY drops a voxel for sample 0 (2 of 3 survive)...
+    _, _, vmask = pallas_dense_to_sparse(
+        jnp.asarray(feats), jnp.asarray(mask), cap)
+    vm = np.asarray(vmask)
+    assert float(vm[0].sum()) == 2.0
+    assert float(vm[1].sum()) == 3.0
+    # ...while the XLA top_k path keeps all 3, so ITS flag correctly stays
+    # the plain occupancy test
+    _, _, vmask_x = dense_to_sparse(jnp.asarray(feats), jnp.asarray(mask), cap)
+    assert float(np.asarray(vmask_x)[0].sum()) == 3.0
+
+
+def test_point_feats_overflow_flag_matches_interp_path():
+    """Flag routing: the same alignment-band pyramid flags overflow under
+    interp_mode='pallas' (voxels actually dropped) and stays clear under
+    'exact' (top_k extraction keeps all occ <= cap voxels)."""
+    from dcl_net_tpu.models.backbone import MultiScalePointFeatures
+
+    rng = np.random.RandomState(7)
+    mask = np.zeros((1, 16, 16, 16), np.float32)
+    flat = mask[0].reshape(-1)
+    flat[0] = flat[2 * 512] = flat[5 * 512] = 1.0
+    gfeats = rng.rand(1, 16, 16, 16, 8).astype(np.float32)
+    pyramid = [(jnp.asarray(gfeats), jnp.asarray(mask))]
+    points = jnp.asarray(rng.rand(1, 128, 3).astype(np.float32) * 0.3 - 0.15)
+
+    flags = {}
+    for mode in ("exact", "pallas"):
+        mod = MultiScalePointFeatures(
+            unit_voxel_extent=UNIT, voxel_num_limit=GRID,
+            scale_list=(1,), capacities=(16,), interp_mode=mode)
+        _, ovf = mod.apply({}, points, pyramid)
+        flags[mode] = bool(np.asarray(ovf)[0])
+    assert flags == {"exact": False, "pallas": True}
+
+
 def test_serving_artifact_carries_overflow():
     from dcl_net_tpu.serving import export_serve, load_serve
 

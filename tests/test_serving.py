@@ -273,6 +273,10 @@ def test_bundle_serves_any_request_size(tmp_path):
             np.testing.assert_allclose(
                 got[k], np.asarray(ref[k]), atol=1e-5, err_msg=f"n={n} {k}")
 
+    # an empty request is a caller error and must fail loudly, not IndexError
+    with pytest.raises(ValueError, match="empty request"):
+        server(feats[:0], vi[:0], obj_idx[:0])
+
 
 def test_bundle_poly_fallback_without_fixed_sizes(tmp_path):
     from dcl_net_tpu.serving import BundleServer, export_bundle, save_bundle
