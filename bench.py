@@ -290,6 +290,26 @@ def main():
             "config": "configs/config_YCBV_bs128_throughput.yaml",
         }
 
+    # PEAK measured single-chip training throughput: banked templates at
+    # B=256 WITHOUT remat. The per-instance template branch is what OOMs
+    # B>=256 (19.2G vs 15.75G HBM); the bank encodes only n_classes CAD
+    # branches, so the banked step fits — measured ~398 samples/s vs 388 at
+    # the named B=128 production config (B=384/512 banked still OOM at
+    # compile). BENCH_TRAIN_PEAK=0 disables, BENCH_TRAIN_PEAK_BATCH resizes.
+    train_peak = None
+    tpk = int(os.environ.get("BENCH_TRAIN_PEAK_BATCH", 256))
+    if int(os.environ.get("BENCH_TRAIN_PEAK", 1)) and tpk <= len(samples) \
+            and not model.remat:
+        kdt, kflops = measure_train(tpk, bank=tmp_bank["tmp"])
+        train_peak = {
+            "batch": tpk,
+            "template_bank": True,
+            "remat": False,
+            "samples_per_sec_per_chip": round(tpk / kdt, 2),
+            "step_ms": round(kdt * 1000, 1),
+            "mfu": round((kflops / kdt) / peak, 4) if kflops else None,
+        }
+
     # larger-batch training point: per-step fixed costs amortize (~2.4x
     # samples/s at B=128 vs the reference's B=32 config); 0 disables
     tb2 = int(os.environ.get("BENCH_TRAIN_BATCH2", 128))
@@ -368,6 +388,7 @@ def main():
             "train_large_batch": train2,
             "train_banked": train_bank,
             "train_production": train_prod,
+            "train_peak": train_peak,
             "protocol_eval": protocol,
             "stage2_eval": stage2,
             "device_kind": jax.devices()[0].device_kind,
