@@ -21,6 +21,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from dcl_net_tpu.data import preprocess as pp
+from dcl_net_tpu.data.png import imread
 from dcl_net_tpu.data.ply import read_ply, sample_points_uniformly
 from dcl_net_tpu.registry import DATASETS
 
@@ -273,14 +274,13 @@ class LineMODDataset(_LMBase):
         return random.choice(list(range(start)) + list(range(stop, length_all)))
 
     def occlude_with_another_object(self, image, depth, mask, obj_id):
-        from PIL import Image
 
         orig = (image.copy(), depth.copy(), mask.copy())
         try:
             other_idx = self._get_other_idx(obj_id)
-            o_img = np.array(Image.open(self.list_rgb[other_idx]))
-            o_dep = np.array(Image.open(self.list_depth[other_idx]))
-            o_msk = np.array(Image.open(self.list_label[other_idx]))
+            o_img = imread(self.list_rgb[other_idx])
+            o_dep = imread(self.list_depth[other_idx])
+            o_msk = imread(self.list_label[other_idx])
             oys, oxs = np.nonzero(o_msk[:, :, 0])
             oy0, oy1 = oys.min(), oys.max()
             ox0, ox1 = oxs.min(), oxs.max()
@@ -321,12 +321,11 @@ class LineMODDataset(_LMBase):
             return orig
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
 
         rng = np.random
-        img = np.array(Image.open(self.list_rgb[index]))[:, :, :3]
-        depth = np.array(Image.open(self.list_depth[index]))
-        label = np.array(Image.open(self.list_label[index]))
+        img = imread(self.list_rgb[index])[:, :, :3]
+        depth = imread(self.list_depth[index])
+        label = imread(self.list_label[index])
         obj = self.list_obj[index]
         rank = self.list_rank[index]
         if self.mode == "train":
@@ -460,12 +459,11 @@ class OcclusionLineMODDataset(_LMBase):
         return [meta[obj]["diameter"] / 1000.0 * 0.1 for obj in self.objlist]
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
 
         rng = np.random
-        img = np.array(Image.open(self.list_rgb[index]))[:, :, :3]
-        depth = np.array(Image.open(self.list_depth[index]))
-        label = np.array(Image.open(self.list_label[index]))
+        img = imread(self.list_rgb[index])[:, :, :3]
+        depth = imread(self.list_depth[index])
+        label = imread(self.list_label[index])
         obj = self.list_obj[index]
         target_r = np.resize(self.list_rot[index], (3, 3))
         target_t = np.array(self.list_trans[index])

@@ -23,6 +23,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from dcl_net_tpu.data import preprocess as pp
+from dcl_net_tpu.data.png import imread
 from dcl_net_tpu.data.ply import read_ply
 from dcl_net_tpu.registry import DATASETS
 
@@ -162,14 +163,13 @@ class YCBVTrainDataset:
         return CAM_1
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
-        from PIL import Image
         import scipy.io as scio
 
         rng = np.random  # module-level RNG like the reference workers
         path = self.list[index]
-        img = np.array(Image.open(f"{self.root}/{path}-color.png"))[:, :, :3]
-        depth = np.array(Image.open(f"{self.root}/{path}-depth.png"))
-        label = np.array(Image.open(f"{self.root}/{path}-label.png"))
+        img = imread(f"{self.root}/{path}-color.png")[:, :, :3]
+        depth = imread(f"{self.root}/{path}-depth.png")
+        label = imread(f"{self.root}/{path}-label.png")
         meta = scio.loadmat(f"{self.root}/{path}-meta.mat")
         objs = meta["cls_indexes"].flatten().astype(np.int32)
         cam = self._intrinsics(path)
@@ -419,13 +419,12 @@ class YCBVTestDataset:
         return {"feats": np.stack(feats), "voxel_idx": np.stack(vidx)}
 
     def __getitem__(self, index: int):
-        from PIL import Image
         import scipy.io as scio
 
         rng = np.random
         path = self.list[index]
-        img = np.array(Image.open(f"{self.root}/{path}-color.png"))[:, :, :3]
-        depth = np.array(Image.open(f"{self.root}/{path}-depth.png"))
+        img = imread(f"{self.root}/{path}-color.png")[:, :, :3]
+        depth = imread(f"{self.root}/{path}-depth.png")
         mask_depth = depth != 0
         posecnn_meta = scio.loadmat(f"{self.masks_dir}/{index:06d}.mat")
         label = np.array(posecnn_meta["labels"])
