@@ -295,3 +295,28 @@ def test_eval_lm_and_lmo_cli(tmp_path):
     res_lmo = lmo_main(common)
     assert "success_mean" in res_lmo
     assert 0.0 <= res_lmo["success_mean"] <= 100.0
+
+
+def test_all_shipped_configs_parse_and_build():
+    """Every yaml in configs/ must parse, build the model, and build the
+    optimizer — catches config rot (new fields, renamed keys) across the
+    whole shipped set, including the bs128 throughput and bs256 peak
+    training configs."""
+    import glob
+
+    from dcl_net_tpu.config import Config
+    from dcl_net_tpu.tools.common import build_model
+    from dcl_net_tpu.train.solver import build_optimizer
+
+    paths = sorted(glob.glob("configs/*.yaml"))
+    assert len(paths) >= 6
+    for p in paths:
+        cfg = Config.fromfile(p)
+        model = build_model(cfg)
+        assert model.n_inp > 0 and model.n_tmp > 0
+        tx, _ = build_optimizer(cfg)
+        assert tx is not None
+        for side in ("train", "test"):
+            dl = cfg.get(f"hyper_dataloader_{side}")
+            if dl:
+                assert int(dl["bs"]) > 0, p
