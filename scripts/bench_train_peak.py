@@ -62,6 +62,13 @@ def main():
                        dtype=jnp.bfloat16, remat=bool(remat))
         batch = jax.tree.map(jnp.asarray, make_batch(samples[:b]).to_dict())
         obj = np.asarray(batch["labels"]["obj_idx"])
+        # np.argmax(obj == c) silently returns 0 for an absent class — make
+        # sure the truncated batch really covers every class (a PEAK_BATCHES
+        # override can set b below the class-covering pool size)
+        missing = [c for c in range(n_classes) if not (obj == c).any()]
+        assert not missing, (
+            f"batch of {b} misses classes {missing}; raise the batch size or "
+            "build the bank from the class-complete pool")
         bank = {
             k: jnp.stack([batch["tmp"][k][int(np.argmax(obj == c))]
                           for c in range(n_classes)])
