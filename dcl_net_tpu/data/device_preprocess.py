@@ -132,14 +132,19 @@ def preprocess_core(
     augment: bool,
     min_points: int,
     eval_keep_clamp: bool,
+    keep_clamp_threshold: int = 32,
 ) -> Dict[str, jnp.ndarray]:
     """The deterministic-given-draws preprocessing graph.
 
     cand_idx=None draws the resample indices in-graph from `key`
     (production); a parity test passes the numpy path's selection instead.
-    eval_keep_clamp reproduces the test loader's quirk: apply the volume
-    filter only when >32 candidates survive it, else keep everything
-    (reference YCBV/dataloader_test_YCBV.py:164-180).
+    eval_keep_clamp reproduces the eval loaders' quirk: apply the volume
+    filter only when > keep_clamp_threshold candidates survive it, else
+    keep everything. YCBV test uses threshold 32 (reference
+    YCBV/dataloader_test_YCBV.py:164-180); LM eval filters whenever ANY
+    survive, i.e. threshold 0 (reference LM/dataloader_test_LM.py:195-204
+    with keep_all_if_few). LMO eval instead invalidates zero-survivor rows
+    (eval_keep_clamp=False, min_points=0).
     """
     unit = jnp.asarray(unit, jnp.float32)
     total_np = np.asarray(total, np.float32)
@@ -175,7 +180,8 @@ def preprocess_core(
     keep = cmask & inside
     keep_count = jnp.sum(keep, axis=1)
     if eval_keep_clamp:
-        keep = jnp.where((keep_count > 32)[:, None], keep, cmask)
+        keep = jnp.where(
+            (keep_count > keep_clamp_threshold)[:, None], keep, cmask)
         dev_valid = n_cand > 0
     else:
         dev_valid = keep_count > min_points
@@ -229,6 +235,7 @@ class DevicePreprocessor:
         augment: bool = True,
         min_points: int = 50,
         eval_keep_clamp: bool = False,
+        keep_clamp_threshold: int = 32,
         angle_range: float = float(np.pi / 36.0),
         trans_range: float = 0.03,
         seed: int = 0,
@@ -252,6 +259,7 @@ class DevicePreprocessor:
             n_points=int(n_points), unit=unit, total=total, limit=limit,
             augment=bool(augment), min_points=int(min_points),
             eval_keep_clamp=bool(eval_keep_clamp),
+            keep_clamp_threshold=int(keep_clamp_threshold),
         )
         a_rng, t_rng = float(angle_range), float(trans_range)
         use_aug = bool(augment)

@@ -178,6 +178,77 @@ class _LMBase:
         )
         return cloud / 1000.0  # LM depths are mm with cam_scale 1
 
+    # ---- raw-candidate mode (device-side preprocessing) ----
+    def _tmp_branch(self, obj: int):
+        pts = (self.pc_cad[obj] / 1000.0).astype(np.float32)
+        return pp.assemble_features(
+            pts, self.rgb_cad[obj].astype(np.float32),
+            self.unit, self.total, self.limit,
+        )
+
+    def _raw_sample(self, img, depth, obj, rows, cols, target_r, target_t,
+                    obj_index, sym):
+        """Raw candidate pixels for the device preprocessing graph
+        (data/device_preprocess.py): the host keeps decode + occlusion aug
+        + mask/bbox + the pixel gather; lift (LM depths are mm, so the cam
+        scale is 1000 — metres in one step), centering, SE(3) aug, volume
+        filter (train min_keep=128 / eval keep-clamp-0 / LMO min_keep=0,
+        reference LM/dataloader_test_LM.py:195-204), resample, and feature
+        assembly run in-graph."""
+        k = self.cand_k
+        n = len(rows)
+        if n > k:
+            sel = np.random.choice(n, k, replace=False)
+            rows, cols = rows[sel], cols[sel]
+            n = k
+        cand_depth = np.zeros(k, np.uint16)
+        cand_rc = np.zeros((k, 2), np.int16)
+        cand_rgb = np.zeros((k, 3), np.uint8)
+        cand_depth[:n] = depth[rows, cols]
+        cand_rc[:n, 0] = rows
+        cand_rc[:n, 1] = cols
+        cand_rgb[:n] = img[rows, cols]
+        feats_tmp, vidx_tmp = self._tmp_branch(obj)
+        return {
+            "cand_depth": cand_depth, "cand_rc": cand_rc,
+            "cand_rgb": cand_rgb, "n_cand": np.int32(n),
+            "cam": np.asarray(
+                [CAM["cx"], CAM["cy"], CAM["fx"], CAM["fy"], 1000.0],
+                np.float32),
+            "tmp_feats": feats_tmp, "tmp_voxel_idx": vidx_tmp,
+            "rot_gt": target_r.astype(np.float32),
+            "trans_gt": target_t.astype(np.float32),
+            "obj_idx": np.int32(obj_index),
+            "sym_flag": np.float32(sym),
+            "valid": 1.0,
+        }
+
+    def _invalid_raw(self):
+        k, m = self.cand_k, self.n_tmp
+        return {
+            "cand_depth": np.zeros(k, np.uint16),
+            "cand_rc": np.zeros((k, 2), np.int16),
+            "cand_rgb": np.zeros((k, 3), np.uint8),
+            "n_cand": np.int32(0),
+            "cam": np.asarray([1.0, 1.0, 1.0, 1.0, 1.0], np.float32),
+            "tmp_feats": np.zeros((m, 7), np.float32),
+            "tmp_voxel_idx": np.zeros((m, 3), np.int32),
+            "rot_gt": np.zeros((3, 3), np.float32),
+            "trans_gt": np.zeros(3, np.float32),
+            "obj_idx": np.int32(0), "sym_flag": np.float32(-1.0),
+            "valid": 0.0,
+        }
+
+    def _read_raw_cfg(self, cfg):
+        """Shared raw-mode config keys (same names as the YCBV datasets)."""
+        _get = (cfg.get if hasattr(cfg, "get")
+                else lambda k, d=None: getattr(cfg, k, d))
+        self.raw_mode = bool(_get("device_preprocess", False))
+        self.cand_k = int(_get("device_cand_k", 8192))
+        self.samples_per_frame = (
+            int(_get("samples_per_frame", 1))
+            if (self.raw_mode and self.mode == "train") else 1)
+
     def template_bank(self):
         """Per-class template inputs {feats [C,M,7], voxel_idx [C,M,3]} for
         the evaluator's template-feature cache."""
@@ -253,6 +324,13 @@ class LineMODDataset(_LMBase):
             os.path.join(root, "models"), self.objlist, self.n_tmp
         )
         self.length = len(self.list_rgb)
+        # raw-candidate mode for device-side preprocessing (opt-in,
+        # cfg.device_preprocess; data/device_preprocess.py). The in-graph
+        # volume filter invalidates rows with <=128 survivors in train mode
+        # (reference LM/dataloader_train_LM.py min_keep) — the CLI passes
+        # device_min_points to the DevicePreprocessor.
+        self._read_raw_cfg(cfg)
+        self.device_min_points = 128
 
     def __len__(self):
         return self.length
@@ -320,6 +398,43 @@ class LineMODDataset(_LMBase):
         except Exception:
             return orig
 
+    def _meta_of(self, obj: int, rank: int) -> dict:
+        # gt.yml stores multiple entries for scene 2 (reference :136-141)
+        if obj == 2:
+            return next(m for m in self.meta[obj][rank] if m["obj_id"] == 2)
+        return self.meta[obj][rank][0]
+
+    def _draw_raw(self, img, depth, label, obj, rank):
+        """One raw-candidate draw (reference LM/dataloader_train_LM.py:
+        164-218 up to the pixel gather; the numpy tail runs in-graph)."""
+        if self.mode == "train":
+            img, depth, label = self.occlude_with_another_object(
+                img.copy(), depth.copy(), label.copy(), obj)
+        meta = self._meta_of(obj, rank)
+        mask_depth = depth != 0
+        if self.mode == "eval":
+            mask_label = label == 255
+        else:
+            mask_label = (label == np.array([255, 255, 255]))[:, :, 0]
+        mask = mask_label & mask_depth
+        if self.mode == "eval":
+            if not mask_label.any():
+                return self._invalid_raw()
+            bbox = pp.mask_to_bbox(mask_label)
+            rmin, rmax, cmin, cmax = lm_bbox_snap(bbox)
+        else:
+            rmin, rmax, cmin, cmax = lm_bbox_snap(meta["obj_bb"])
+        target_r = np.resize(np.array(meta["cam_R_m2c"]), (3, 3))
+        target_t = np.array(meta["cam_t_m2c"], np.float32) / 1000.0
+        r_loc, c_loc = np.nonzero(mask[rmin:rmax, cmin:cmax])
+        if len(r_loc) == 0:
+            return self._invalid_raw()
+        sym = 1.0 if self.objlist.index(obj) in LM_SYM_IDX else 0.0
+        return self._raw_sample(
+            img, depth, obj, rmin + r_loc, cmin + c_loc,
+            target_r, target_t, self.objlist.index(obj), sym,
+        )
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
 
         rng = np.random
@@ -328,14 +443,23 @@ class LineMODDataset(_LMBase):
         label = imread(self.list_label[index])
         obj = self.list_obj[index]
         rank = self.list_rank[index]
+
+        if self.raw_mode:
+            # decode once; each draw re-runs occlusion aug on fresh copies
+            # (the aug pastes ANOTHER frame's crop — image-space compositing
+            # over two decoded frames, ~900 KB each, stays host-side: the
+            # raw-candidate wire format is ~9 B/candidate and in-graph
+            # compositing would ship both full frames per sample)
+            out = [
+                self._draw_raw(img, depth, label, obj, rank)
+                for _ in range(self.samples_per_frame)
+            ]
+            return out if self.samples_per_frame > 1 else out[0]
+
         if self.mode == "train":
             img, depth, label = self.occlude_with_another_object(img, depth, label, obj)
 
-        # gt.yml stores multiple entries for scene 2 (reference :136-141)
-        if obj == 2:
-            meta = next(m for m in self.meta[obj][rank] if m["obj_id"] == 2)
-        else:
-            meta = self.meta[obj][rank][0]
+        meta = self._meta_of(obj, rank)
 
         mask_depth = depth != 0
         if self.mode == "eval":
@@ -424,6 +548,11 @@ class OcclusionLineMODDataset(_LMBase):
                 self.list_trans.append(t.reshape(3))
                 self.list_obj.append(item)
         self.length = len(self.list_rgb)
+        # raw-candidate mode: LMO's in-graph filter invalidates only
+        # zero-survivor rows (reference min_keep=0) — the CLI passes
+        # device_min_points=0 and eval_keep_clamp=False.
+        self._read_raw_cfg(cfg)
+        self.device_min_points = 0
 
     @staticmethod
     def _read_pose(filename: str):
@@ -475,13 +604,26 @@ class OcclusionLineMODDataset(_LMBase):
             mask_label = (label == np.array([1, 1, 1]))[:, :, 0]
         mask = mask_label & mask_depth
 
+        if not mask_label.any():
+            out = self._invalid_raw() if self.raw_mode else self._invalid()
+            out["obj_idx"] = np.int32(self.objlist.index(obj))
+            return out
         bbox = pp.mask_to_bbox(mask_label)
         rmin, rmax, cmin, cmax = lm_bbox_snap(bbox)
         choose = mask[rmin:rmax, cmin:cmax].flatten().nonzero()[0]
         if len(choose) == 0:
-            out = self._invalid()
+            out = self._invalid_raw() if self.raw_mode else self._invalid()
             out["obj_idx"] = np.int32(self.objlist.index(obj))
             return out
+
+        if self.raw_mode:
+            w = cmax - cmin
+            return self._raw_sample(
+                img, depth, obj, rmin + choose // w, cmin + choose % w,
+                target_r.astype(np.float32), target_t.astype(np.float32),
+                self.objlist.index(obj),
+                1.0 if self.objlist.index(obj) in LMO_SYM_IDX else 0.0,
+            )
         rgb = pp.normalize_rgb(img[rmin:rmax, cmin:cmax].reshape(-1, 3)[choose])
         cloud = self._lift(depth, choose, rmin, rmax, cmin, cmax).astype(np.float32)
         centroid = cloud.mean(axis=0)

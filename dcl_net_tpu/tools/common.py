@@ -172,6 +172,45 @@ def build_model(cfg: Config, dtype=None, interp_mode: str = None):
     )
 
 
+def build_device_preprocess(ds_cfg, dataset, *, augment: bool,
+                            eval_keep_clamp: bool = False,
+                            keep_clamp_threshold: int = 32,
+                            seed: int = 1, logger=None):
+    """(collate, batch_transform) for opt-in device-side preprocessing
+    (ds_cfg.device_preprocess), or (None, None).
+
+    The in-graph volume-filter validity threshold comes from the dataset
+    (device_min_points: YCBV train 50, LM train/test 128, LMO 0 — matching
+    each reference loader's min_keep); the eval keep-clamp threshold from
+    the caller (YCBV test 32, LM eval 0)."""
+    if not bool(ds_cfg.get("device_preprocess", False)):
+        return None, None
+    if not getattr(dataset, "raw_mode", False):
+        raise ValueError(
+            "device_preprocess requires a dataset with raw-candidate "
+            f"support, got {type(dataset).__name__}")
+    from dcl_net_tpu.data.device_preprocess import (
+        DevicePreprocessor, make_raw_batch,
+    )
+
+    transform = DevicePreprocessor(
+        n_points=int(ds_cfg.input_size),
+        unit_voxel_extent=tuple(ds_cfg.unit_voxel_extent),
+        voxel_num_limit=tuple(int(v) for v in ds_cfg.voxel_num_limit),
+        augment=augment,
+        min_points=int(getattr(dataset, "device_min_points", 50)),
+        eval_keep_clamp=eval_keep_clamp,
+        keep_clamp_threshold=keep_clamp_threshold,
+        seed=seed,
+    )
+    if logger is not None:
+        logger.warning(
+            "device-side preprocessing: lift/center"
+            + ("/aug" if augment else "")
+            + f"/filter/resample in-graph (cand_k={dataset.cand_k})")
+    return make_raw_batch, transform
+
+
 def build_train_dataset(cfg: Config):
     name = cfg.hyper_dataset_train.name
     ds_cfg = cfg.hyper_dataset_train

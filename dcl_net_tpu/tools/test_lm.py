@@ -11,7 +11,9 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
+    from dcl_net_tpu.tools.common import (
+        base_parser, build_device_preprocess, build_mesh, build_model, init,
+    )
 
     args = base_parser("DCL-Net TPU LineMOD eval").parse_args(argv)
     logger, cfg = init(args, "test_lm")
@@ -52,11 +54,20 @@ def main(argv=None):
         diameters=dataset.diameters(), template_bank=dataset.template_bank(),
         logger=logger, mesh=mesh,
     )
+    # device-side eval preprocessing, opt-in: LM eval applies the volume
+    # filter whenever ANY candidate survives (keep-clamp threshold 0,
+    # reference LM/dataloader_test_LM.py:195-204)
+    collate, transform = build_device_preprocess(
+        cfg.hyper_dataset_test, dataset, augment=False,
+        eval_keep_clamp=True, keep_clamp_threshold=0,
+        seed=int(cfg.get("rd_seed", 1)), logger=logger,
+    )
     loader = BatchLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 256)),
         shuffle=False, drop_last=False,
         num_workers=int(cfg.hyper_dataloader_test.get("num_workers", 8)),
         worker_type=str(cfg.hyper_dataloader_test.get("worker_type", "thread")),
+        collate=collate, batch_transform=transform,
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"mean success rate: {result['success_mean']}")

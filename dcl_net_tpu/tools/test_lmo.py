@@ -12,7 +12,9 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
+    from dcl_net_tpu.tools.common import (
+        base_parser, build_device_preprocess, build_mesh, build_model, init,
+    )
 
     args = base_parser("DCL-Net TPU Occlusion-LineMOD eval").parse_args(argv)
     logger, cfg = init(args, "test_lmo")
@@ -60,11 +62,19 @@ def main(argv=None):
         count_lost=True, template_bank=dataset.template_bank(),
         logger=logger, mesh=mesh,
     )
+    # device-side eval preprocessing, opt-in: LMO invalidates only
+    # zero-survivor rows (min_keep=0, reference LM/dataloader_test_LMO.py;
+    # the dataset sets device_min_points=0, no keep-clamp)
+    collate, transform = build_device_preprocess(
+        cfg.hyper_dataset_test, dataset, augment=False,
+        seed=int(cfg.get("rd_seed", 1)), logger=logger,
+    )
     loader = BatchLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 256)),
         shuffle=False, drop_last=False,
         num_workers=int(cfg.hyper_dataloader_test.get("num_workers", 8)),
         worker_type=str(cfg.hyper_dataloader_test.get("worker_type", "thread")),
+        collate=collate, batch_transform=transform,
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"mean success rate: {result['success_mean']}")

@@ -11,7 +11,9 @@ import os
 
 
 def main(argv=None):
-    from dcl_net_tpu.tools.common import base_parser, build_mesh, build_model, init
+    from dcl_net_tpu.tools.common import (
+        base_parser, build_device_preprocess, build_mesh, build_model, init,
+    )
 
     args = base_parser("DCL-Net TPU YCBV stage-1 eval").parse_args(argv)
     logger, cfg = init(args, "test_ycbv_stage1")
@@ -45,26 +47,14 @@ def main(argv=None):
         protocol="adds_auc", template_bank=dataset.template_bank(),
         logger=logger, mesh=mesh,
     )
-    collate = transform = None
-    if getattr(dataset, "raw_mode", False):
-        # device-side preprocessing, eval flavor (opt-in via
-        # hyper_dataset_test.device_preprocess): host decodes + gathers raw
-        # candidate pixels; lift/center/clamped-filter/resample run in-graph
-        from dcl_net_tpu.data.device_preprocess import (
-            DevicePreprocessor, make_raw_batch,
-        )
-
-        collate = make_raw_batch
-        transform = DevicePreprocessor(
-            n_points=int(cfg.hyper_dataset_test.input_size),
-            unit_voxel_extent=tuple(cfg.hyper_dataset_test.unit_voxel_extent),
-            voxel_num_limit=tuple(
-                int(v) for v in cfg.hyper_dataset_test.voxel_num_limit),
-            augment=False, eval_keep_clamp=True,
-            seed=int(cfg.get("rd_seed", 1)),
-        )
-        logger.warning("device-side eval preprocessing: lift/filter/"
-                       f"resample in-graph (cand_k={dataset.cand_k})")
+    # device-side eval preprocessing, opt-in: YCBV test applies the volume
+    # filter only when >32 candidates survive it (keep-clamp, reference
+    # YCBV/dataloader_test_YCBV.py:164-180)
+    collate, transform = build_device_preprocess(
+        cfg.hyper_dataset_test, dataset, augment=False,
+        eval_keep_clamp=True, keep_clamp_threshold=32,
+        seed=int(cfg.get("rd_seed", 1)), logger=logger,
+    )
     loader = EvalFrameLoader(
         dataset, batch_size=int(cfg.hyper_dataloader_test.get("bs", 256)),
         num_workers=int(cfg.hyper_dataloader_test.get("num_workers", 8)),

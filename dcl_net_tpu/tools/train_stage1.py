@@ -14,7 +14,8 @@ import os
 
 def main(argv=None):
     from dcl_net_tpu.tools.common import (
-        base_parser, build_mesh, build_model, build_train_dataset, init,
+        base_parser, build_device_preprocess, build_mesh, build_model,
+        build_train_dataset, init,
     )
 
     args = base_parser("DCL-Net TPU stage-1 training").parse_args(argv)
@@ -38,32 +39,15 @@ def main(argv=None):
     logger.info("=> creating model ...")
     model = build_model(cfg)
     dataset = build_train_dataset(cfg)
-    collate = transform = None
-    if bool(cfg.hyper_dataset_train.get("device_preprocess", False)):
-        # opt-in device-side preprocessing (SURVEY §7 step 4): the dataset
-        # emits raw candidate pixels and the lift/center/aug/filter/
-        # resample/assembly runs as one jitted graph per batch in the
-        # loader's producer thread (data/device_preprocess.py)
-        if not getattr(dataset, "raw_mode", False):
-            raise ValueError(
-                "hyper_dataset_train.device_preprocess requires a dataset "
-                "with raw-candidate support (ycbv_train)")
-        from dcl_net_tpu.data.device_preprocess import (
-            DevicePreprocessor, make_raw_batch,
-        )
-
-        collate = make_raw_batch
-        transform = DevicePreprocessor(
-            n_points=int(cfg.hyper_dataset_train.input_size),
-            unit_voxel_extent=tuple(cfg.hyper_dataset_train.unit_voxel_extent),
-            voxel_num_limit=tuple(
-                int(v) for v in cfg.hyper_dataset_train.voxel_num_limit),
-            augment=True, min_points=50,
-            seed=int(cfg.get("rd_seed", 1)),
-        )
-        logger.warning(
-            "device-side preprocessing: lift/aug/filter/resample in-graph "
-            f"(cand_k={dataset.cand_k})")
+    # opt-in device-side preprocessing (SURVEY §7 step 4): the dataset emits
+    # raw candidate pixels and the lift/center/aug/filter/resample/assembly
+    # runs as one jitted graph per batch in the loader's producer thread
+    # (data/device_preprocess.py); the in-graph validity threshold follows
+    # the dataset (YCBV min_keep=50, LM min_keep=128)
+    collate, transform = build_device_preprocess(
+        cfg.hyper_dataset_train, dataset, augment=True,
+        seed=int(cfg.get("rd_seed", 1)), logger=logger,
+    )
     loader = BatchLoader(
         dataset,
         collate=collate,

@@ -150,6 +150,54 @@ def main():
                   f"{n_inst / best:.1f} decoded inst/s over {len(eds)} frames "
                   f"({n_inst} valid of {n_rows} rows, best {best:.2f}s)")
 
+    # ---- LineMOD side: the same fast-input-path A/B on the LM tree
+    # (decode + occlusion aug + mask/bbox + gather host-side; lift/aug/
+    # filter/resample in-graph). LM frames carry ONE instance each, so
+    # samples_per_frame re-draws the occlusion aug per sample on one decode.
+    from dcl_net_tpu.data.linemod import LineMODDataset
+    from tests.fixtures import make_linemod_fixture
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        lm_root = make_linemod_fixture(tmp)
+        print(f"\nLM fixture: 13 objects in {time.perf_counter()-t0:.1f}s")
+        lm_cfg = Config({
+            "input_size": 1024, "tmp_size": 1024,
+            "unit_voxel_extent": [0.005, 0.005, 0.005],
+            "voxel_num_limit": [64, 64, 64], "voxelization_mode": 4,
+        })
+        n_raw = 32
+        for label, extra, spf in (
+            ("numpy path", {}, 1),
+            ("device_preprocess", {"device_preprocess": True}, 1),
+            ("device_preprocess, samples_per_frame=4",
+             {"device_preprocess": True, "samples_per_frame": 4}, 4),
+        ):
+            lds = LineMODDataset(
+                "train", Config({**lm_cfg.to_dict(), **extra}), lm_root)
+            for i in range(8):
+                lds[i % len(lds)]  # warm page cache
+            t0 = time.perf_counter()
+            for i in range(n_raw):
+                lds[i % len(lds)]
+            dt = (time.perf_counter() - t0) / (n_raw * spf)
+            print(f"LM train __getitem__ [{label}]: {dt*1e3:.1f} ms/sample "
+                  f"({1/dt:.1f} samples/s single-core)")
+        for label, extra in (
+            ("numpy path", {}),
+            ("device_preprocess", {"device_preprocess": True}),
+        ):
+            lds = LineMODDataset(
+                "eval", Config({**lm_cfg.to_dict(), **extra}), lm_root)
+            for i in range(len(lds)):
+                lds[i]
+            t0 = time.perf_counter()
+            for i in range(n_raw):
+                lds[i % len(lds)]
+            dt = (time.perf_counter() - t0) / n_raw
+            print(f"LM eval  __getitem__ [{label}]: {dt*1e3:.1f} ms/sample "
+                  f"({1/dt:.1f} samples/s single-core)")
+
     print(f"device rates to beat: train 244 samples/s (B=128, BENCH_r02), "
           f"eval ~1500 inst/s (B=512); cores here: {os.cpu_count()}")
 

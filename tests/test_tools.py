@@ -98,6 +98,40 @@ def test_train_stage1_device_preprocess_smoke(tmp_path):
     assert rec["overflow_frac"] == 0.0
 
 
+def test_train_stage1_lm_device_preprocess_smoke(tmp_path):
+    """Train CLI on the LineMOD fixture with device-side preprocessing +
+    samples_per_frame: the fast input path extended to LM (in-graph
+    occlusion-aug'd candidates, min_keep=128 validity)."""
+    from dcl_net_tpu.tools import train_stage1
+    from tests import fixtures
+
+    fixtures.make_linemod_fixture(str(tmp_path))
+    log_root = str(tmp_path / "log")
+    train_stage1.main([
+        "--config", "configs/config_LM.yaml",
+        "--log_root", log_root, "--path_data", str(tmp_path),
+        "--override",
+        "model.n_inp=64", "model.n_tmp=64",
+        "model.unit_voxel_extent=[0.012,0.012,0.012]",
+        "model.voxel_num_limit=[16,16,16]",
+        "model.capacities=[256,64,16,8]",
+        "hyper_dataset_train.input_size=64",
+        "hyper_dataset_train.tmp_size=64",
+        "hyper_dataset_train.unit_voxel_extent=[0.012,0.012,0.012]",
+        "hyper_dataset_train.voxel_num_limit=[16,16,16]",
+        "hyper_dataset_train.device_preprocess=true",
+        "hyper_dataset_train.device_cand_k=4096",
+        "hyper_dataset_train.samples_per_frame=2",
+        "hyper_dataloader_train.bs=8",
+        "hyper_dataloader_train.num_workers=2",
+        "max_epoch=1", "per_val=0", "per_save=1", "per_write=1",
+    ])
+    exp_dir = os.path.join(log_root, "DCL_Net_config_LM_id0")
+    scalars = open(os.path.join(exp_dir, "scalars.jsonl")).read().strip().splitlines()
+    rec = json.loads(scalars[-1])
+    assert np.isfinite(rec["loss_all"])
+
+
 @pytest.mark.slow
 def test_stage2_train_synthetic_smoke(tmp_path):
     from dcl_net_tpu.tools.train_ycbv_stage2 import main as main2
@@ -295,6 +329,15 @@ def test_eval_lm_and_lmo_cli(tmp_path):
     res_lmo = lmo_main(common)
     assert "success_mean" in res_lmo
     assert 0.0 <= res_lmo["success_mean"] <= 100.0
+
+    # device-side preprocessing arms: raw candidates + in-graph lift/filter/
+    # resample (LM: keep-clamp threshold 0; LMO: min_keep=0)
+    dev = ["hyper_dataset_test.device_preprocess=true",
+           "hyper_dataset_test.device_cand_k=2048"]
+    res_lm_dev = lm_main(common + dev)
+    assert 0.0 <= res_lm_dev["success_mean"] <= 100.0
+    res_lmo_dev = lmo_main(common + dev)
+    assert 0.0 <= res_lmo_dev["success_mean"] <= 100.0
 
 
 def test_all_shipped_configs_parse_and_build():
