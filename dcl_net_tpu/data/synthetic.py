@@ -60,7 +60,21 @@ class SyntheticPoseDataset:
         seed: int = 0,
         noise: float = 0.002,
         cad_dir: Optional[str] = None,
+        frame_mode: bool = False,
+        samples_per_frame: int = 1,
     ):
+        """frame_mode emulates the raw-mode loaders' samples_per_frame
+        batch correlation (data/ycbv.py, data/linemod.py): __getitem__(f)
+        returns `samples_per_frame` draws sharing one scene (object, base
+        pose, view — the frame-level state a decoded image fixes) and
+        differing only in the per-draw streams (SE(3) aug of the pose,
+        observed resample, noise) — exactly the statistical structure spf>1
+        training sees. Feed through BatchLoader(samples_per_item=spf) so
+        groups land in the same batch, like the production raw path. Used
+        by the spf quality A/B (scripts/train_synthetic_convergence.py
+        --samples-per-frame)."""
+        self.frame_mode = bool(frame_mode)
+        self.samples_per_frame = int(samples_per_frame)
         self.n_points = n_points
         self.unit = np.asarray(unit_voxel_extent, np.float32)
         self.limit = np.asarray(voxel_num_limit, np.int32)
@@ -112,7 +126,9 @@ class SyntheticPoseDataset:
         idx = np.floor((pts + 0.5 * self.total) / self.unit).astype(np.int32)
         return np.clip(idx, 0, self.limit - 1)
 
-    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, index: int):
+        if self.frame_mode:
+            return self._frame_item(index)
         rng = np.random.RandomState(index & 0x7FFFFFFF)
         obj = rng.randint(len(self.cad_points))
         cad = self.cad_points[obj]
@@ -150,6 +166,58 @@ class SyntheticPoseDataset:
             "valid": 1.0,
             "radius": np.float32(np.linalg.norm(cad, axis=1).max()),
         }
+
+    def _frame_item(self, index: int):
+        """frame_mode draw: one synthetic 'frame' = shared scene state
+        (object, base pose, view direction), k per-draw variations (SE(3)
+        aug of the pose — the raw path's in-graph +-5deg/+-3cm aug,
+        data/device_preprocess.py — plus independent resample and noise).
+        Returns a list of k samples (k=1: the bare dict), matching the
+        raw-mode datasets' samples_per_frame convention so
+        BatchLoader(samples_per_item=k) packs each frame's draws into the
+        same batch."""
+        from scipy.spatial.transform import Rotation
+
+        scene = np.random.RandomState(index & 0x7FFFFFFF)
+        obj = scene.randint(len(self.cad_points))
+        cad = self.cad_points[obj]
+        col = self.cad_colors[obj]
+        n = self.n_points
+        rot = Rotation.random(random_state=scene).as_matrix().astype(np.float32)
+        trans = (scene.rand(3).astype(np.float32) - 0.5) * 0.06
+        view = scene.randn(3).astype(np.float32)
+        view /= np.linalg.norm(view)
+        visible = (cad @ view) > np.percentile(cad @ view, 40)
+        vis_idx = np.where(visible)[0]
+
+        out = []
+        for j in range(self.samples_per_frame):
+            draw = np.random.RandomState(
+                (index * 1000003 + 7919 * j + 1) & 0x7FFFFFFF)
+            ang = draw.uniform(-np.pi / 36, np.pi / 36, 3)
+            aug_r = Rotation.from_euler("xyz", ang).as_matrix().astype(
+                np.float32)
+            rot_j = (rot @ aug_r).astype(np.float32)
+            trans_j = trans + draw.uniform(-0.03, 0.03, 3).astype(np.float32)
+            tsel = draw.choice(len(cad), n, replace=n > len(cad))
+            osel = vis_idx[draw.choice(len(vis_idx), n, replace=True)]
+            obs = cad[osel] @ rot_j.T + trans_j
+            obs = obs + draw.randn(n, 3).astype(np.float32) * self.noise
+            ones = np.ones((n, 1), np.float32)
+            out.append({
+                "inp_feats": np.concatenate([ones, col[osel], obs], -1),
+                "inp_voxel_idx": self._voxel_index(obs),
+                "tmp_feats": np.concatenate(
+                    [ones, col[tsel], cad[tsel]], -1),
+                "tmp_voxel_idx": self._voxel_index(cad[tsel]),
+                "rot_gt": rot_j,
+                "trans_gt": trans_j.astype(np.float32),
+                "obj_idx": np.int32(obj),
+                "sym_flag": np.float32(self.sym_flags[obj]),
+                "valid": 1.0,
+                "radius": np.float32(np.linalg.norm(cad, axis=1).max()),
+            })
+        return out if self.samples_per_frame > 1 else out[0]
 
     def template_bank(self) -> Dict[str, np.ndarray]:
         """Per-class template inputs for banked-template training

@@ -219,6 +219,22 @@ class Evaluator:
         class_ids: List[int] = []
         lost_per_class: Dict[int, int] = {}
         n_overflow = 0
+        multiproc = self.mesh is not None and jax.process_count() > 1
+
+        def _local_rows(x):
+            # multi-host: the jitted outputs are GLOBAL batch-sharded arrays
+            # (out_shardings in _jit_run); device_get would raise on their
+            # non-addressable shards. Each process fetches ITS contiguous
+            # block (addressable shards in global-index order) — which lines
+            # up row-for-row with the process-local loader batch the
+            # valid/cls/sym metadata came from.
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                shards = sorted(
+                    x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+                return np.concatenate(
+                    [np.asarray(s.data) for s in shards], axis=0)
+            return np.asarray(x)
 
         def consume(res, valid, cls, sym, pad):
             nonlocal n_overflow
@@ -226,9 +242,9 @@ class Evaluator:
             # attach latency is ms-scale on this backend, and separate
             # np.asarray calls per output showed up as ~2% of end-to-end
             # eval at B=512 (docs/PERF.md)
-            got = jax.device_get(
-                {k: res[k] for k in ("adds", "add", "overflow") if k in res}
-            )
+            keys = {k: res[k] for k in ("adds", "add", "overflow") if k in res}
+            got = (jax.tree.map(_local_rows, keys) if multiproc
+                   else jax.device_get(keys))
             adds = np.asarray(got["adds"])
             # adds_auc scores every row ADD-S; "add" is only emitted (and
             # only consulted by _score_batch) under the add_0.1d sym rule
@@ -266,6 +282,38 @@ class Evaluator:
             pending = (res,) + meta
         if pending is not None:
             consume(*pending)
+        if multiproc:
+            # every process scored only its own block: allgather the ragged
+            # per-process score lists (NaN/-1 padded to the max local count)
+            # and the fixed-size lost/overflow counters, so each process
+            # computes IDENTICAL global metrics (tools/dryrun_multihost.py
+            # asserts equality with a single-process run)
+            from jax.experimental import multihost_utils as mhu
+
+            d = np.asarray(distances, np.float64)
+            c = np.asarray(class_ids, np.int64)
+            counts = np.asarray(mhu.process_allgather(
+                np.asarray([len(d)], np.int64)))[:, 0]
+            m = int(counts.max()) if counts.size else 0
+            pad_d = np.full(m, np.nan)
+            pad_d[:len(d)] = d
+            pad_c = np.full(m, -1, np.int64)
+            pad_c[:len(c)] = c
+            all_d = np.asarray(mhu.process_allgather(pad_d))
+            all_c = np.asarray(mhu.process_allgather(pad_c))
+            distances = [float(v) for row, k in zip(all_d, counts)
+                         for v in row[:k]]
+            class_ids = [int(v) for row, k in zip(all_c, counts)
+                         for v in row[:k]]
+            n_cls = int(self.model_points.shape[0])
+            lost_vec = np.zeros(n_cls, np.int64)
+            for k, v in lost_per_class.items():
+                lost_vec[k] = v
+            all_lost = np.asarray(mhu.process_allgather(lost_vec)).sum(0)
+            lost_per_class = {i: int(all_lost[i]) for i in range(n_cls)
+                              if all_lost[i]}
+            n_overflow = int(np.asarray(mhu.process_allgather(
+                np.asarray([n_overflow], np.int64))).sum())
         result = self.summarize(distances, class_ids, lost_per_class)
         result["n_overflow"] = n_overflow
         if n_overflow and self.logger:

@@ -115,8 +115,68 @@ def main(argv=None):
         state, metrics = step(state, shard_batch(batch, mesh))
         losses.append(float(metrics["loss_all"]))
 
+    # ---- eval arm: Evaluator.evaluate with process-sharded batches ----
+    # (VERDICT r4 item 5: the Evaluator's multi-host branch — global-batch
+    # divisibility check, make_array_from_process_local_data assembly, and
+    # cross-process score aggregation — had no 2-process test before this.)
+    # Every process builds the SAME deterministic global eval set and feeds
+    # its contiguous block; the aggregated metrics must equal the
+    # single-process run bit-for-bit (same scores, same aggregation).
+    import jax.numpy as jnp
+
+    from dcl_net_tpu.data.schema import make_batch
+    from dcl_net_tpu.eval.evaluator import Evaluator
+
+    pid, pcnt = jax.process_index(), jax.process_count()
+    b_local = args.batch // pcnt
+    eval_rows = [ds[i] for i in range(args.batch * 2)]
+    eval_batches = []
+    for k in range(2):
+        rows = eval_rows[k * args.batch:(k + 1) * args.batch]
+        local = rows[pid * b_local:(pid + 1) * b_local]
+        eval_batches.append(make_batch(local).to_dict())
+    model_points = np.stack([ds.model_points(c, 32) for c in range(2)])
+    eval_vars = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), eval_batches[0], train=False)
+    evaluator = Evaluator(
+        model, eval_vars, model_points, protocol="adds_auc", mesh=mesh)
+    eres = evaluator.evaluate(iter(eval_batches))
+    eval_metrics = {
+        "auc_mean": float(eres["auc_mean"]),
+        "acc_mean": float(eres["acc_mean"]),
+        "n_overflow": int(eres["n_overflow"]),
+    }
+
+    # ---- stage-2 arm: one refiner train step over the mesh ----
+    from dcl_net_tpu.models import Refiner
+    from dcl_net_tpu.train.solver import TrainState
+    from dcl_net_tpu.train.stage2 import make_stage2_train_step
+
+    refiner = Refiner(n_inp=n)
+    out1 = jax.jit(lambda v, b: model.apply(v, b, train=False))(
+        eval_vars, eval_batches[0])
+    rvars = refiner.init(
+        jax.random.PRNGKey(1),
+        {"input_features": jnp.concatenate(
+            [out1["points_inp"], out1["F_Xo_p"].astype(jnp.float32)], -1),
+         "conf": out1["conf"]},
+    )
+    s2_step = make_stage2_train_step(
+        model, eval_vars, refiner, tx, 2, jnp.asarray(model_points))
+    ps2 = make_parallel_train_step(s2_step, mesh)
+    s2_state = replicate(TrainState(
+        step=jnp.zeros((), jnp.int32), params=rvars["params"],
+        batch_stats={}, opt_state=tx.init(rvars["params"]),
+    ), mesh)
+    s2_losses = []
+    for b in eval_batches:
+        s2_state, m = ps2(s2_state, shard_batch(b, mesh))
+        s2_losses.append(float(m["loss_all"]))
+
     result = {
         "losses": losses,
+        "eval": eval_metrics,
+        "stage2_losses": s2_losses,
         "process_count": jax.process_count(),
         "n_devices": jax.device_count(),
         "global_batch": args.batch,

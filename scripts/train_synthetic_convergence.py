@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--bank", action="store_true",
                     help="banked-template training arm")
+    ap.add_argument("--samples-per-frame", type=int, default=0,
+                    help="spf quality A/B arm (VERDICT r4 item 3): >0 "
+                    "trains on frame-correlated synthetic draws "
+                    "(SyntheticPoseDataset frame_mode) with this group "
+                    "size packed per batch; compare --samples-per-frame 1 "
+                    "(frame mode, no sharing) vs 4 at matched steps. "
+                    "Held-out eval stays the standard independent split.")
     ap.add_argument("--auc-bar", type=float, default=90.0)
     ap.add_argument("--classes", type=int, default=8)
     ap.add_argument("--cad-dir", default=None,
@@ -80,9 +87,14 @@ def main():
     C = args.classes
 
     TRAIN_LEN, HELD_LEN = 8192, 512
+    spf = max(args.samples_per_frame, 0)
     train_ds = SyntheticPoseDataset(
         n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
-        length=TRAIN_LEN, seed=0, cad_dir=args.cad_dir,
+        # frame mode: the dataset indexes FRAMES; spf draws per frame keep
+        # the same number of samples per epoch at any group size
+        length=TRAIN_LEN // spf if spf else TRAIN_LEN,
+        seed=0, cad_dir=args.cad_dir,
+        frame_mode=bool(spf), samples_per_frame=max(spf, 1),
     )
     # held-out split: SAME objects, pose/view/visibility streams drawn from
     # indices PAST the training range (per-sample RNG is index-keyed, so a
@@ -94,7 +106,8 @@ def main():
     )
     C = len(train_ds.cad_points)  # cad_dir may define the class count
     loader = BatchLoader(train_ds, batch_size=args.batch, num_workers=4,
-                         seed=0, to_jax=True)
+                         seed=0, to_jax=True,
+                         samples_per_item=max(spf, 1))
 
     model = DCLNet(
         unit_voxel_extent=unit, voxel_num_limit=grid, n_inp=n, n_tmp=n,
@@ -117,6 +130,8 @@ def main():
         for c in range(C):
             for i in range(len(train_ds)):
                 s = train_ds[i]
+                if isinstance(s, list):  # frame_mode spf>1 returns draws
+                    s = s[0]
                 if int(s["obj_idx"]) == c:
                     feats.append(s["tmp_feats"]); vidx.append(s["tmp_voxel_idx"])
                     break
@@ -261,6 +276,7 @@ def main():
     result = {
         "protocol": args.protocol,
         "config": ("banked-template" if args.bank else "per-instance"),
+        "samples_per_frame": spf or None,
         "steps": args.steps, "batch": args.batch,
         "identity_auc": identity_auc,
         "stage1_auc": stage1_auc,

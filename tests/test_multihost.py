@@ -84,3 +84,13 @@ def test_two_process_dryrun_matches_single_process(tmp_path):
     # chaos at random init — same-trajectory, loose tolerance.
     np.testing.assert_allclose(got["losses"][1:], ref["losses"][1:],
                                rtol=5e-2)
+    # eval arm: process-sharded Evaluator.evaluate (local-shard fetch +
+    # cross-process score allgather) must reproduce the single-process
+    # metrics EXACTLY — same scores, same aggregation order after gather
+    assert got["eval"]["auc_mean"] == ref["eval"]["auc_mean"]
+    assert got["eval"]["acc_mean"] == ref["eval"]["acc_mean"]
+    assert got["eval"]["n_overflow"] == ref["eval"]["n_overflow"] == 0
+    # stage-2 arm: refiner steps over the mesh (frozen stage-1 closure,
+    # identical inits) — forward-only losses, tight tolerance
+    np.testing.assert_allclose(got["stage2_losses"], ref["stage2_losses"],
+                               rtol=1e-5)
