@@ -23,6 +23,7 @@
 #include <zlib.h>
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -121,6 +122,36 @@ int unfilter_row(int filter, uint8_t* row, const uint8_t* prev, size_t stride,
 
 }  // namespace
 
+// csrc/inflate.cpp: libdeflate-style one-shot inflate (docs/PERF.md
+// "Round-5 fast inflate"); out must carry 8 bytes of slack
+extern "C" int dclx_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
+                            size_t out_len);
+
+namespace {
+
+// Gather the IDAT payloads (one zlib stream split across chunks) into a
+// contiguous buffer and run the fast one-shot inflate. Returns 0 and fills
+// raw[0..raw_size) on success; nonzero = caller runs the zlib path.
+int fast_inflate_idat(const uint8_t* data, size_t len, uint8_t* raw,
+                      size_t raw_size, std::vector<uint8_t>* scratch) {
+  scratch->clear();
+  size_t off = 8 + 25;
+  while (off + 12 <= len) {
+    uint32_t clen = be32(data + off);
+    const uint8_t* ctype = data + off + 4;
+    if (off + 12 + clen > len) return -4;
+    if (std::memcmp(ctype, "IDAT", 4) == 0)
+      scratch->insert(scratch->end(), data + off + 8, data + off + 8 + clen);
+    else if (std::memcmp(ctype, "IEND", 4) == 0)
+      break;
+    off += 12 + clen;
+  }
+  if (scratch->empty()) return -4;
+  return dclx_inflate(scratch->data(), scratch->size(), raw, raw_size);
+}
+
+}  // namespace
+
 extern "C" {
 
 // Probe header: fills output-array geometry. Returns 0 on success.
@@ -146,41 +177,58 @@ int dclx_png_decode(const uint8_t* data, size_t len, uint8_t* out) {
   const size_t stride = size_t(info.w) * info.channels * (info.bit_depth / 8);
   const size_t bpp = size_t(info.channels) * (info.bit_depth / 8);
   const size_t raw_size = size_t(info.h) * (stride + 1);
-  std::vector<uint8_t> raw(raw_size);
+  // +8: dclx_inflate's word-wide match copies may overrun by up to 7 bytes
+  std::vector<uint8_t> raw(raw_size + 8);
 
-  // Streaming inflate across the IDAT chunks (no concatenation copy).
-  z_stream zs;
-  std::memset(&zs, 0, sizeof(zs));
-  if (inflateInit(&zs) != Z_OK) return -3;
-  zs.next_out = raw.data();
-  zs.avail_out = uInt(raw_size);
-  int zrc = Z_OK;
-  size_t off = 8 + 25;  // past signature + IHDR
-  bool done = false;
-  while (!done && off + 12 <= len) {
-    uint32_t clen = be32(data + off);
-    const uint8_t* ctype = data + off + 4;
-    if (off + 12 + clen > len) {
-      inflateEnd(&zs);
-      return -4;
-    }
-    if (std::memcmp(ctype, "IDAT", 4) == 0) {
-      zs.next_in = const_cast<uint8_t*>(data + off + 8);
-      zs.avail_in = clen;
-      zrc = inflate(&zs, Z_NO_FLUSH);
-      if (zrc == Z_STREAM_END) done = true;
-      else if (zrc != Z_OK && zrc != Z_BUF_ERROR) {
-        inflateEnd(&zs);
-        return -3;
-      }
-    } else if (std::memcmp(ctype, "IEND", 4) == 0) {
-      done = true;
-    }
-    off += 12 + clen;
+  // Fast path: one-shot libdeflate-style inflate over the concatenated
+  // IDAT payloads (csrc/inflate.cpp; ~2x zlib on photo-like color rows,
+  // docs/PERF.md "Round-5 fast inflate"). Any anomaly — malformed stream,
+  // adler mismatch — falls back to the battle-tested zlib streaming path.
+  // DCLX_ZLIB_INFLATE=1 forces the zlib path (the bench A/B knob).
+  const char* zv = std::getenv("DCLX_ZLIB_INFLATE");  // per call: A/B toggle
+  const bool force_zlib = zv != nullptr && zv[0] == '1';
+  bool inflated = false;
+  if (!force_zlib) {
+    thread_local std::vector<uint8_t> scratch;
+    inflated =
+        fast_inflate_idat(data, len, raw.data(), raw_size, &scratch) == 0;
   }
-  const bool filled = (zs.avail_out == 0);
-  inflateEnd(&zs);
-  if (!filled && zrc != Z_STREAM_END) return -4;
+
+  if (!inflated) {
+    // Streaming inflate across the IDAT chunks (no concatenation copy).
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit(&zs) != Z_OK) return -3;
+    zs.next_out = raw.data();
+    zs.avail_out = uInt(raw_size);
+    int zrc = Z_OK;
+    size_t off = 8 + 25;  // past signature + IHDR
+    bool done = false;
+    while (!done && off + 12 <= len) {
+      uint32_t clen = be32(data + off);
+      const uint8_t* ctype = data + off + 4;
+      if (off + 12 + clen > len) {
+        inflateEnd(&zs);
+        return -4;
+      }
+      if (std::memcmp(ctype, "IDAT", 4) == 0) {
+        zs.next_in = const_cast<uint8_t*>(data + off + 8);
+        zs.avail_in = clen;
+        zrc = inflate(&zs, Z_NO_FLUSH);
+        if (zrc == Z_STREAM_END) done = true;
+        else if (zrc != Z_OK && zrc != Z_BUF_ERROR) {
+          inflateEnd(&zs);
+          return -3;
+        }
+      } else if (std::memcmp(ctype, "IEND", 4) == 0) {
+        done = true;
+      }
+      off += 12 + clen;
+    }
+    const bool filled = (zs.avail_out == 0);
+    inflateEnd(&zs);
+    if (!filled && zrc != Z_STREAM_END) return -4;
+  }
 
   // Unfilter rows in place, then emit into the caller buffer.
   uint8_t* prev = nullptr;

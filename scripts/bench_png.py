@@ -136,6 +136,23 @@ def main():
             print(f"{'':34s} inflate is {t_inf/t_nat*100:.0f}% of the native "
                   f"decode ({'inflate-bound' if t_inf/t_nat > 0.7 else 'unfilter/copy-bound'})")
 
+            # fast one-shot inflate (csrc/inflate.cpp) vs the zlib streaming
+            # path, same decoder, in-process interleaved A/B via the
+            # DCLX_ZLIB_INFLATE knob (read per call)
+            def native_zlib(path=path):
+                os.environ["DCLX_ZLIB_INFLATE"] = "1"
+                try:
+                    return npng.imread(path)
+                finally:
+                    os.environ.pop("DCLX_ZLIB_INFLATE", None)
+
+            np.testing.assert_array_equal(native_read(), native_zlib())
+            t_zl, t_fast = interleaved_best(native_zlib, native_read,
+                                            args.reps)
+            print(f"{'':34s} native[zlib inflate] {t_zl*1e3:.2f} ms vs "
+                  f"native[fast inflate] {t_fast*1e3:.2f} ms = "
+                  f"{t_zl/t_fast:.2f}x; vs PIL: {t_pil/t_fast:.2f}x")
+
 
 if __name__ == "__main__":
     main()
