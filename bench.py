@@ -238,7 +238,10 @@ def main():
         _ = float(m["loss_all"])
         t_iters = max(iters // 2, 3)
         best = None
-        for _rep in range(2):
+        # best-of-3 like the eval headline: train rows moved ~8% between
+        # driver runs (r03→r04) — the min over 3 independent loops is the
+        # honest compute estimate on this shared chip (VERDICT r4 item 4)
+        for _rep in range(3):
             # 1-deep metric pipelining, the Solver's production loop
             # (train/solver.py): dispatch step k+1 before fetching step k's
             # scalars, so the attach latency overlaps compute. Every metric
@@ -395,7 +398,10 @@ def main():
             sys.path.insert(0, sys_path0)
         from tests.fixtures import make_ycbv_fixture
 
-        frames = int(os.environ.get("BENCH_PIPELINE_FRAMES", 64))
+        # 128 frames ≈ 380 valid instances ≈ 6 eval batches/epoch at B=64 —
+        # enough steady-state batches that the un-overlapped first dispatch
+        # amortizes; fixture generation is a one-time ~20 s (reported)
+        frames = int(os.environ.get("BENCH_PIPELINE_FRAMES", 128))
         spf = int(os.environ.get("BENCH_PIPELINE_SPF", 4))
         p_ebs = int(os.environ.get("BENCH_PIPELINE_EVAL_BATCH", 64))
         p_tbs = int(os.environ.get("BENCH_PIPELINE_TRAIN_BATCH", 64))
@@ -412,78 +418,100 @@ def main():
                 "device_preprocess": True,
             }
 
-            # eval arm: EvalFrameLoader (native PNG + .mat decode, raw
-            # candidate gather) -> in-graph lift/clamped-filter/resample ->
-            # Evaluator.evaluate (forward + host scoring), sustained
+            # ---- eval arms: Evaluator.evaluate fed from disk, SAME-process
+            # A/B of the two input flavors (VERDICT r4 weak #1):
+            #   device — raw candidate gather -> in-graph lift/clamped-
+            #            filter/resample (ships ~9 B/candidate pixels)
+            #   host   — the reference-semantics numpy __getitem__ tail
+            # On attach-tunnel hosts (~100 MB/s host->device) the candidate
+            # shipping can cost more than the host tail it replaces at ~3
+            # instances/frame; the JSON carries both so the winner is read
+            # off per deployment, not assumed.
+            def eval_arm(dataset, collate, transform):
+                loader = EvalFrameLoader(
+                    dataset, batch_size=p_ebs, num_workers=workers,
+                    worker_type="thread", collate=collate,
+                    batch_transform=transform)
+                ev = Evaluator(model, variables,
+                               dataset.model_points_array(),
+                               protocol="adds_auc",
+                               template_bank=dataset.template_bank())
+                res = ev.evaluate(iter(loader))  # warm: compile+cache
+                n_i = int(res["n_scored"])
+                best = None
+                for _rep in range(3):
+                    t0 = time.perf_counter()
+                    res = ev.evaluate(iter(loader))
+                    cur = time.perf_counter() - t0
+                    best = cur if best is None else min(best, cur)
+                assert np.isfinite(res["auc_mean"])
+                loader.close()
+                return n_i, best
+
             eds = YCBVTestDataset(Config(dict(dcfg)), root,
                                   assets_dir=assets_dir)
             pre_e = DevicePreprocessor(
                 n_points=n_points, unit_voxel_extent=unit,
                 voxel_num_limit=grid, augment=False, eval_keep_clamp=True,
                 seed=0)
-            eloader = EvalFrameLoader(
-                eds, batch_size=p_ebs, num_workers=workers,
-                worker_type="thread", collate=make_raw_batch,
-                batch_transform=pre_e)
-            pev = Evaluator(model, variables, eds.model_points_array(),
-                            protocol="adds_auc",
-                            template_bank=eds.template_bank())
-            n_inst = [0]
+            n_ed, e_dev = eval_arm(eds, make_raw_batch, pre_e)
+            host_ecfg = {k: v for k, v in dcfg.items()
+                         if k != "device_preprocess"}
+            eds_h = YCBVTestDataset(Config(host_ecfg), root,
+                                    assets_dir=assets_dir)
+            n_eh, e_host = eval_arm(eds_h, None, None)
+            # both flavors should score the SAME instances (filter-semantics
+            # parity, tests/test_device_preprocess.py); both counts go into
+            # the JSON so a mismatch is visible without failing the bench
 
-            def counting(it):
-                for b in it:
-                    n_inst[0] += int(np.asarray(
-                        jax.device_get(b["valid"])).sum())
-                    yield b
+            # ---- train arms: banked steps fed from disk, same A/B ----
+            target_steps = int(os.environ.get("BENCH_PIPELINE_STEPS", 10))
 
-            _ = pev.evaluate(counting(iter(eloader)))  # warm: compile+cache
-            e_best = None
-            for _rep in range(2):
+            def train_arm(loader, bank):
+                pstep = jax.jit(
+                    make_train_step(model, tx, dcl_losses,
+                                    template_bank=bank),
+                    donate_argnums=(0,))
+                it_t = iter(loader)
+                first = next(it_t)
+                pstate = init_train_state(model, tx, first)
+                pstate, m0 = pstep(pstate, first)  # compile before timing
+                _ = float(m0["loss_all"])
+                steps, prev = 0, None
                 t0 = time.perf_counter()
-                res_p = pev.evaluate(iter(eloader))
-                cur = time.perf_counter() - t0
-                e_best = cur if e_best is None else min(e_best, cur)
-            assert np.isfinite(res_p["auc_mean"])
+                while steps < target_steps:
+                    for b in it_t:
+                        pstate, m = pstep(pstate, b)
+                        if prev is not None:
+                            _ = float(prev["loss_all"])  # 1-deep pipelining
+                        prev = m
+                        steps += 1
+                        if steps >= target_steps:
+                            break
+                    else:
+                        it_t = iter(loader)  # next epoch: re-decode disk
+                assert np.isfinite(float(prev["loss_all"]))
+                return steps, time.perf_counter() - t0
 
-            # train arm: BatchLoader raw mode + samples_per_frame decode
-            # amortization -> in-graph aug/preprocess -> banked train steps
             tds = YCBVTrainDataset(
                 Config({**dcfg, "samples_per_frame": spf}), root,
                 assets_dir=assets_dir)
             pre_t = DevicePreprocessor(
                 n_points=n_points, unit_voxel_extent=unit,
                 voxel_num_limit=grid, augment=True, min_points=50, seed=0)
-            tloader = BatchLoader(
+            pbank = {k: jnp.asarray(v)
+                     for k, v in tds.template_bank().items()}
+            t_steps, t_dev = train_arm(BatchLoader(
                 tds, batch_size=p_tbs, num_workers=workers,
                 worker_type="thread", collate=make_raw_batch,
                 batch_transform=pre_t, samples_per_item=spf, seed=0,
-                shuffle=True, drop_last=True)
-            pbank = {k: jnp.asarray(v)
-                     for k, v in tds.template_bank().items()}
-            pstep = jax.jit(
-                make_train_step(model, tx, dcl_losses, template_bank=pbank),
-                donate_argnums=(0,))
-            it_t = iter(tloader)
-            first = next(it_t)
-            pstate = init_train_state(model, tx, first)
-            pstate, m0 = pstep(pstate, first)   # compile before timing
-            _ = float(m0["loss_all"])
-            target_steps = int(os.environ.get("BENCH_PIPELINE_STEPS", 10))
-            steps, prev = 0, None
-            t0 = time.perf_counter()
-            while steps < target_steps:
-                for b in it_t:
-                    pstate, m = pstep(pstate, b)
-                    if prev is not None:
-                        _ = float(prev["loss_all"])  # 1-deep pipelining
-                    prev = m
-                    steps += 1
-                    if steps >= target_steps:
-                        break
-                else:
-                    it_t = iter(tloader)  # next epoch: re-decode from disk
-            assert np.isfinite(float(prev["loss_all"]))
-            t_dt = time.perf_counter() - t0
+                shuffle=True, drop_last=True), pbank)
+            tds_h = YCBVTrainDataset(Config(host_ecfg), root,
+                                     assets_dir=assets_dir)
+            th_steps, t_host = train_arm(BatchLoader(
+                tds_h, batch_size=p_tbs, num_workers=workers,
+                worker_type="thread", seed=0, to_jax=True,
+                shuffle=True, drop_last=True), pbank)
 
             pipeline = {
                 "host_cores": os.cpu_count(),
@@ -491,22 +519,30 @@ def main():
                 "fixture": {"frames": frames, "classes": 3,
                             "gen_s": round(fixture_s, 1)},
                 "eval": {
-                    "instances_per_sec": round(n_inst[0] / e_best, 2),
+                    "instances_per_sec_device_preprocess":
+                        round(n_ed / e_dev, 2),
+                    "instances_per_sec_host_numpy": round(n_eh / e_host, 2),
                     "batch": p_ebs,
-                    "instances_per_epoch": n_inst[0],
-                    "includes": "disk PNG/.mat decode (native zlib PNG) + "
-                                "raw gather + in-graph lift/filter/resample "
-                                "+ forward + host scoring, best of 2 epochs",
+                    "instances_per_epoch": n_ed,
+                    "instances_per_epoch_host_numpy": n_eh,
+                    "includes": "disk PNG/.mat decode (native PNG w/ fast "
+                                "inflate) + preprocessing (flavor per key) "
+                                "+ forward + host scoring, best of 3 "
+                                "epochs each, same process",
                 },
                 "train": {
-                    "samples_per_sec": round(steps * p_tbs / t_dt, 2),
+                    "samples_per_sec_device_preprocess":
+                        round(t_steps * p_tbs / t_dev, 2),
+                    "samples_per_sec_host_numpy":
+                        round(th_steps * p_tbs / t_host, 2),
                     "batch": p_tbs,
                     "samples_per_frame": spf,
                     "template_bank": True,
-                    "steps_timed": steps,
-                    "includes": "disk decode + occlusion-free raw gather + "
-                                "in-graph SE(3) aug/preprocess + banked "
-                                "train step, sustained across epochs",
+                    "steps_timed": t_steps,
+                    "includes": "disk decode + preprocessing (flavor per "
+                                "key; device arm amortizes decode over "
+                                f"spf={spf}) + banked train step, "
+                                "sustained across epochs",
                 },
             }
 
@@ -530,6 +566,7 @@ def main():
             "train_peak": train_peak,
             "protocol_eval": protocol,
             "stage2_eval": stage2,
+            "pipeline": pipeline,
             "device_kind": jax.devices()[0].device_kind,
             "peak_flops_assumed": peak,
             "config": "bf16 + pallas interp + per-class template cache",

@@ -316,6 +316,10 @@ class Evaluator:
                 np.asarray([n_overflow], np.int64))).sum())
         result = self.summarize(distances, class_ids, lost_per_class)
         result["n_overflow"] = n_overflow
+        # scored-instance count (global under multi-host): the denominator
+        # behind every mean above, and the cheap cross-config parity check
+        # (two input flavors of the same dataset must score the same count)
+        result["n_scored"] = len(distances)
         if n_overflow and self.logger:
             self.logger.warning(
                 "capacity overflow: %d scored instances exceeded a "

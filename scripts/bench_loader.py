@@ -150,6 +150,53 @@ def main():
                   f"{n_inst / best:.1f} decoded inst/s over {len(eds)} frames "
                   f"({n_inst} valid of {n_rows} rows, best {best:.2f}s)")
 
+        # + device preprocessing (VERDICT r4 item 8): EvalFrameLoader in raw
+        # candidate mode + the in-graph lift/clamped-filter/resample flavor —
+        # the exact tools/test_ycbv_stage1 fast-path configuration
+        # (keep-clamp threshold 32, reference YCBV/dataloader_test_YCBV.py:
+        # 164-180). Epoch times include the per-batch jitted-preprocess
+        # dispatch; on the production chip that dispatch overlaps the next
+        # batch's decode, so the HOST-side decode+gather is the bound.
+        import jax
+
+        from dcl_net_tpu.data.device_preprocess import (
+            DevicePreprocessor, make_raw_batch)
+
+        eds_dev = YCBVTestDataset(
+            Config({**cfg.to_dict(), "device_preprocess": True}),
+            root, assets_dir=assets)
+        pre_e = DevicePreprocessor(
+            n_points=int(cfg.input_size),
+            unit_voxel_extent=tuple(cfg.unit_voxel_extent),
+            voxel_num_limit=tuple(cfg.voxel_num_limit),
+            augment=False, eval_keep_clamp=True, seed=0)
+        loader = EvalFrameLoader(
+            eds_dev, batch_size=args.batch, num_workers=args.workers,
+            worker_type="thread", collate=make_raw_batch,
+            batch_transform=pre_e)
+        # count on the warm epoch only: fetching valid per batch would
+        # SYNCHRONIZE on each preprocess dispatch, which the production
+        # Evaluator overlaps with the next batch's decode. Timed epochs
+        # iterate freely and sync ONCE on the final batch.
+        n_inst = n_rows = 0
+        for batch in loader:
+            valid = np.asarray(jax.device_get(batch["valid"]))
+            n_rows += valid.shape[0]
+            n_inst += int(valid.sum())
+        best = None
+        for it in range(args.iters):
+            t0 = time.perf_counter()
+            last = None
+            for batch in loader:
+                last = batch
+            _ = np.asarray(jax.device_get(last["valid"]))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        loader.close()
+        print(f"EvalFrameLoader[thread x{args.workers}, device_preprocess]: "
+              f"{n_inst / best:.1f} decoded inst/s over {len(eds_dev)} frames "
+              f"({n_inst} valid of {n_rows} rows, best {best:.2f}s)")
+
     # ---- LineMOD side: the same fast-input-path A/B on the LM tree
     # (decode + occlusion aug + mask/bbox + gather host-side; lift/aug/
     # filter/resample in-graph). LM frames carry ONE instance each, so
