@@ -66,6 +66,13 @@ def init(args, tool_name: str) -> Tuple[object, Config]:
             process_id=args.host_id,
         )
 
+    # DCLNET_PLATFORM=cpu|tpu: explicit backend selection for every CLI.
+    # Needed because some environments register a preferred backend via
+    # sitecustomize with jax.config (which outranks the JAX_PLATFORMS env
+    # var) — e.g. CI runs of docs/REPRODUCE.md's commands on CPU-only hosts
+    # (tests/test_runbook.py).
+    if os.environ.get("DCLNET_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["DCLNET_PLATFORM"])
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_cache")),
@@ -87,6 +94,34 @@ def init(args, tool_name: str) -> Tuple[object, Config]:
     backup_source(log_dir)
     set_random_seed(int(cfg.get("rd_seed", 1)))
     return logger, cfg
+
+
+def write_result_json(cfg: Config, tool_name: str, result: dict) -> str:
+    """Persist an eval CLI's metric dict as `<log_dir>/results_<tool>.json`.
+
+    The reference tools only print metrics into their logs
+    (tools/test_YCBV_stage1.py:199-205); a machine-readable artifact is what
+    the reproduction runbook (docs/REPRODUCE.md) and its CI test key on.
+    numpy scalars/arrays are converted to plain JSON types."""
+    import json
+
+    import numpy as np
+
+    def clean(x):
+        if isinstance(x, dict):
+            return {k: clean(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [clean(v) for v in x]
+        if isinstance(x, np.ndarray):
+            return x.tolist()
+        if isinstance(x, (np.floating, np.integer, np.bool_)):
+            return x.item()
+        return x
+
+    path = os.path.join(cfg.log_dir, f"results_{tool_name}.json")
+    with open(path, "w") as f:
+        json.dump(clean(result), f, indent=1)
+    return path
 
 
 def build_mesh(cfg: Config, args=None):

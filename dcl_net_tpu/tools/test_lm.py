@@ -71,6 +71,9 @@ def main(argv=None):
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"mean success rate: {result['success_mean']}")
+    from dcl_net_tpu.tools.common import write_result_json
+
+    write_result_json(cfg, "test_lm", result)
     return result
 
 

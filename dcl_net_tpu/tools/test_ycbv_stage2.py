@@ -66,6 +66,9 @@ def main(argv=None):
     )
     result = evaluator.evaluate(iter(loader))
     logger.warning(f"ADD-S AUC mean: {result['auc_mean']}  <2cm: {result['acc_mean']}")
+    from dcl_net_tpu.tools.common import write_result_json
+
+    write_result_json(cfg, "test_ycbv_stage2", result)
     return result
 
 
