@@ -90,9 +90,13 @@ def main():
     spf = max(args.samples_per_frame, 0)
     train_ds = SyntheticPoseDataset(
         n_objects=C, n_points=n, unit_voxel_extent=unit, voxel_num_limit=grid,
-        # frame mode: the dataset indexes FRAMES; spf draws per frame keep
-        # the same number of samples per epoch at any group size
-        length=TRAIN_LEN // spf if spf else TRAIN_LEN,
+        # frame mode: the dataset indexes FRAMES. The frame POOL stays
+        # TRAIN_LEN at every spf — production spf draws k samples per
+        # decoded frame of a FIXED dataset (the epoch grows to len*spf
+        # samples); shrinking the pool to TRAIN_LEN//spf would conflate the
+        # batch-correlation effect under test with a 1/spf scene-diversity
+        # cut that real datasets don't experience.
+        length=TRAIN_LEN,
         seed=0, cad_dir=args.cad_dir,
         frame_mode=bool(spf), samples_per_frame=max(spf, 1),
     )

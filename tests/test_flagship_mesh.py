@@ -33,7 +33,12 @@ from dcl_net_tpu.train.solver import (
 GRID = (64, 64, 64)
 UNIT = (0.006, 0.006, 0.006)
 N = 1024
-B = 64  # 8 rows per shard on the 8-device mesh
+# 4 rows per shard on the 8-device mesh: multi-row-per-shard capacity /
+# padding interactions at the production grid+capacities, while keeping the
+# CPU cost of the 64^3 f32 conv pyramid inside the slow tier (B=64 ran
+# ~55 min on this single-core box; B=32 halves the train step, the
+# dominant term)
+B = 32
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -60,6 +65,9 @@ def test_flagship_shape_mesh_train_and_eval():
 
     # ---- one flagship train step over the mesh ----
     state = replicate(init_train_state(model, tx, batch), mesh)
+    # snapshot BEFORE the step: the parallel step donates its input state,
+    # so state's buffers are deleted afterwards
+    p0 = np.asarray(jax.tree.leaves(state.params)[0])
     pstep = make_parallel_train_step(
         make_train_step(model, tx, dcl_losses), mesh)
     new_state, metrics = pstep(state, shard_batch(batch, mesh))
@@ -68,14 +76,14 @@ def test_flagship_shape_mesh_train_and_eval():
     # synthetic 1024-pt clouds occupy far fewer than 2048 voxels: any
     # overflow here means a per-shard capacity/padding misfire
     assert float(metrics["overflow_frac"]) == 0.0
-    p0 = jax.tree.leaves(state.params)[0]
-    p1 = jax.tree.leaves(new_state.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    p1 = np.asarray(jax.tree.leaves(new_state.params)[0])
+    assert not np.allclose(p0, p1)
 
-    # ---- mesh eval at flagship shape, rows checked against single-device
-    # (eval mode uses stored BN stats, so per-row results are batch-shape
-    # independent up to reduction-order float noise — the bs-invariance
-    # guarantee the eval CLI test pins at 16^3) ----
+    # ---- mesh eval at flagship shape (single-device row equality is
+    # already pinned at 16^3 by test_parallel.py; a second full-size
+    # compile here would double the test's CPU cost for no new coverage —
+    # what this asserts is that the production-shape sharded eval runs,
+    # scores every row finitely, and trips no per-shard capacity flag) ----
     variables = {"params": jax.tree.map(lambda x: np.asarray(x),
                                         new_state.params),
                  "batch_stats": jax.tree.map(lambda x: np.asarray(x),
@@ -89,10 +97,8 @@ def test_flagship_shape_mesh_train_and_eval():
     adds8 = np.asarray(res8["adds"])
     assert adds8.shape == (B,)
     assert np.isfinite(adds8).all()
+    # post-one-step distances on synthetic mm-scale clouds: sane magnitude,
+    # not degenerate zeros (a sharding/padding bug that zeroes rows or
+    # mixes shards shows up here)
+    assert 1e-5 < float(adds8.mean()) < 1.0, adds8.mean()
     assert int(np.asarray(res8["overflow"]).sum()) == 0
-
-    small = make_batch([ds[i] for i in range(8)]).to_dict()
-    ev1 = Evaluator(model, variables, model_points, protocol="adds_auc")
-    res1 = ev1._run(ev1.variables, jax.tree.map(jnp.asarray, small))
-    np.testing.assert_allclose(
-        adds8[:8], np.asarray(res1["adds"]), rtol=1e-3, atol=1e-6)
