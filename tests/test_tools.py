@@ -230,6 +230,12 @@ def test_eval_ycbv_cli(tmp_path):
     ])
     assert "auc_mean" in result
     assert 0.0 <= result["auc_mean"] <= 100.0
+    # machine-readable artifact (docs/REPRODUCE.md): every eval CLI writes
+    # results_<tool>.json next to its log
+    res_path = os.path.join(ckpt_dir, "results_test_ycbv_stage1.json")
+    saved = json.load(open(res_path))
+    assert saved["auc_mean"] == result["auc_mean"]
+    assert saved["n_scored"] > 0
 
     # padded-batch protocol is batch-size invariant: the production configs
     # run bs=512 (fixed-dispatch amortization, docs/PERF.md) where most rows
